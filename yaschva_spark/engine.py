@@ -1,0 +1,154 @@
+"""DataFrame-level validation entry points.
+
+Two execution paths, chosen per schema:
+
+* **Typed path** (:func:`validate_table`) — the schema compiles to pure
+  Catalyst expressions over the DataFrame's typed columns
+  (:mod:`yaschva_spark.typed`). Whole-stage codegen, zero Python in the hot
+  path. This is the 100 TB path; the flagship code-table schema runs here.
+
+* **Dynamic path** (:func:`validate_json_table`) — full reference semantics
+  (undefined vs null, multi-type unions, ``any``, unbounded recursion) over
+  a JSON-text column, evaluated by the reference-faithful interpreter inside
+  an Arrow-batched ``mapInPandas`` stage. Batch-level Python (one call per
+  Arrow batch), used only for schemas the static compiler can't express —
+  mirroring SURVEY.md §2.2's UDF policy.
+
+:func:`validate_auto` picks the typed path when possible and falls back.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yaschva_spark.interp import (
+    UNDEFINED_TOKEN,
+    validate as interp_validate,
+    output_to_jsonable,
+    violations_from_output,
+)
+from yaschva_spark.schema import check_schema
+from yaschva_spark.typed import (
+    VIOLATION_DDL,
+    TypedCompileError,
+    compile_schema,
+)
+
+PASS_COL = "yv_valid"
+VIOLATIONS_COL = "yv_violations"
+
+
+def validate_table(
+    df: DataFrame,
+    schema: Any,
+    *,
+    ignore_columns: tuple[str, ...] = (),
+    max_unroll: int = 32,
+) -> DataFrame:
+    """Typed fast path: append ``yv_valid`` (boolean) and ``yv_violations``
+    (array of violation structs) computed entirely by Catalyst expressions.
+
+    Raises :class:`SchemaError` for malformed schemas (the reference throws)
+    and :class:`TypedCompileError` when the schema needs the dynamic path.
+    """
+    check_schema(schema)
+    violations = compile_schema(
+        schema, df.schema, ignore_columns=tuple(ignore_columns), max_unroll=max_unroll
+    )
+    return df.withColumn(VIOLATIONS_COL, violations).withColumn(
+        PASS_COL, F.size(F.col(VIOLATIONS_COL)) == 0
+    )
+
+
+def validate_auto(df: DataFrame, schema: Any, json_col: str | None = None, **kwargs) -> DataFrame:
+    """Typed path when the schema is statically compilable, else the dynamic
+    interpreter path over ``json_col`` (required for fallback)."""
+    try:
+        return validate_table(df, schema, **kwargs)
+    except TypedCompileError:
+        if json_col is None:
+            raise
+        return validate_json_table(df, schema, json_col)
+
+
+def explode_violations(validated: DataFrame, id_cols: list[str]) -> DataFrame:
+    """Violation sink shape: one row per violation
+    ``(id..., path, rule, error, value)`` — the reference's error tree in
+    table form (SURVEY.md §1.2)."""
+    v = F.explode(F.col(VIOLATIONS_COL)).alias("v")
+    return (
+        validated.filter(~F.col(PASS_COL))
+        .select(*id_cols, v)
+        .select(
+            *id_cols,
+            F.col("v.path").alias("path"),
+            F.col("v.rule").alias("rule"),
+            F.col("v.error").alias("error"),
+            F.col("v.value").alias("value"),
+        )
+    )
+
+
+def validate_json_table(
+    df: DataFrame,
+    schema: Any,
+    json_col: str,
+    *,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Dynamic path: validate a JSON-text column with exact reference
+    semantics via the interpreter, Arrow batch at a time.
+
+    The literal ``"__undefined__"`` as the whole cell (or SQL NULL) encodes
+    a JS-undefined root (FIXTURES.md §1). Appends ``yv_valid``,
+    ``yv_violations`` and ``yv_output`` (the mirrored output tree as JSON).
+    """
+    check_schema(schema)
+    keep = keep_cols if keep_cols is not None else [c for c in df.columns]
+    schema_blob = json.dumps(schema)  # ship the schema to executors as text
+
+    out_ddl = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep)
+    out_ddl = (out_ddl + ", " if out_ddl else "") + (
+        f"{PASS_COL} boolean, {VIOLATIONS_COL} {VIOLATION_DDL}, yv_output string"
+    )
+
+    def run_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from yaschva_spark.interp import UNDEFINED
+
+        node = json.loads(schema_blob)
+        for pdf in batches:
+            texts = pdf[json_col]
+            valid = []
+            viols = []
+            outputs = []
+            for raw in texts:
+                if raw is None or raw == UNDEFINED_TOKEN:
+                    value = UNDEFINED
+                else:
+                    value = json.loads(raw)
+                result = interp_validate(node, value)
+                ok = result["result"] == "pass"
+                valid.append(ok)
+                rows = violations_from_output(result["output"])
+                viols.append(
+                    [
+                        {"path": r["path"], "rule": r["rule"], "error": r["error"], "value": r["value"]}
+                        for r in rows
+                    ]
+                )
+                outputs.append(
+                    json.dumps(output_to_jsonable(result["output"]), separators=(",", ":"))
+                )
+            out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
+            out[PASS_COL] = valid
+            out[VIOLATIONS_COL] = viols
+            out["yv_output"] = outputs
+            yield out
+
+    return df.mapInPandas(run_batches, schema=out_ddl)
