@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: typed-compiled yaschva validation of the
+``documents`` table, returning exploded violation rows.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented table-level
+operator (SURVEY.md §2.2), each with its DuckDB-equivalent ANSI SQL. Column
+names/aliases match exactly on both sides; doubles are rounded on both sides
+to keep value hashes stable.
 """
 
 from __future__ import annotations
@@ -12,27 +14,254 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yaschva_spark import checks
+from yaschva_spark.engine import explode_violations, validate_table
+
+# the flagship yaschva schema for the documents table (FIXTURES.md §5)
+DOC_LANGS = ["en", "fr", "es", "zh", "de"]
+DOC_SCHEMA = {
+    "doc_id": "integer",
+    "text": {"$string": {"minLength": 1, "maxLength": 500}},
+    "lang": {"$enum": DOC_LANGS},
+    "source": {"$string": {"minLength": 1}},
+    "n_chars": {"$number": {"min": 0, "max": 600}},
+}
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: validate documents against DOC_SCHEMA on the
+    typed Catalyst path; return the violation rows."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    validated = validate_table(docs, DOC_SCHEMA)
+    return explode_violations(validated, ["doc_id"])
+
+
+# --- queries -------------------------------------------------------------------
+def _q_flagship_violation_summary(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    v = explode_violations(validate_table(docs, DOC_SCHEMA), ["doc_id"])
+    return v.groupBy("path", "rule").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_doc_violations(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    v = explode_violations(validate_table(docs, DOC_SCHEMA), ["doc_id"])
+    return v.select("doc_id", "path", "rule")
+
+
+def _q_doc_null_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("doc_id").isNull().cast("long")).alias("doc_id_nulls"),
+        F.sum(F.col("text").isNull().cast("long")).alias("text_nulls"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("lang_nulls"),
+        F.sum(F.col("source").isNull().cast("long")).alias("source_nulls"),
+        F.sum(F.col("n_chars").isNull().cast("long")).alias("n_chars_nulls"),
+    )
+
+
+def _q_doc_col_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("n_chars").alias("n_chars_min"),
+        F.max("n_chars").alias("n_chars_max"),
+        F.round(F.avg("n_chars"), 4).alias("n_chars_avg"),
+        F.countDistinct("lang").alias("n_lang"),
+        F.countDistinct("source").alias("n_source"),
+        F.round(F.avg(F.length("text")), 4).alias("text_avg_len"),
+    )
+
+
+def _q_lineitem_dup_keys(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return checks.duplicate_keys(li, ["l_orderkey"]).select(
+        "l_orderkey", F.col("dup_count").alias("n")
+    )
+
+
+def _q_uniqueness_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return checks.uniqueness_summary(li, ["l_orderkey", "l_linenumber"], salt_buckets=8)
+
+
+def _q_ri_orphan_count(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    orphans = checks.ri_orphans(events, "user_id", customer, "c_custkey")
+    return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+def _q_doc_length_histogram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return checks.length_histogram(docs, "n_chars", bucket_width=50)
+
+
+def _q_event_type_enum_check(spark, sf_dir):
+    return checks.enum_check(_t(spark, sf_dir, "events"), "event_type", EVENT_TYPES)
+
+
+def _q_source_regex_check(spark, sf_dir):
+    return checks.regex_check(_t(spark, sf_dir, "documents"), "source", "^src[0-9]+$")
+
+
+def _q_value_range_check(spark, sf_dir):
+    return checks.range_check(_t(spark, sf_dir, "events"), "value", 0.0, 400.0)
+
+
+def _q_lang_chi2_drift(spark, sf_dir):
+    return checks.drift_chi2(_t(spark, sf_dir, "documents"), "source", "lang")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_violation_summary": _q_flagship_violation_summary,
+        "doc_violations": _q_doc_violations,
+        "doc_null_counts": _q_doc_null_counts,
+        "doc_col_stats": _q_doc_col_stats,
+        "lineitem_dup_keys": _q_lineitem_dup_keys,
+        "uniqueness_summary": _q_uniqueness_summary,
+        "ri_orphan_count": _q_ri_orphan_count,
+        "doc_length_histogram": _q_doc_length_histogram,
+        "event_type_enum_check": _q_event_type_enum_check,
+        "source_regex_check": _q_source_regex_check,
+        "value_range_check": _q_value_range_check,
+        "lang_chi2_drift": _q_lang_chi2_drift,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_LANG_LIST = ", ".join(f"'{x}'" for x in DOC_LANGS)
+_EVENT_LIST = ", ".join(f"'{x}'" for x in EVENT_TYPES)
+
+# the flagship schema's violation predicates, spelled out in ANSI SQL — one
+# SELECT per (path, rule) the typed compiler can emit for DOC_SCHEMA
+_DOC_VIOLATION_SQL = f"""
+    SELECT doc_id, '$.doc_id' AS path, 'not_integer' AS rule FROM documents
+      WHERE doc_id IS NULL OR abs(doc_id) > 9007199254740991
+    UNION ALL
+    SELECT doc_id, '$.text', 'not_string' FROM documents WHERE text IS NULL
+    UNION ALL
+    SELECT doc_id, '$.text', 'str_too_short' FROM documents
+      WHERE text IS NOT NULL AND length(text) < 1
+    UNION ALL
+    SELECT doc_id, '$.text', 'str_too_long' FROM documents
+      WHERE text IS NOT NULL AND length(text) >= 1 AND length(text) > 500
+    UNION ALL
+    SELECT doc_id, '$.lang', 'not_string' FROM documents WHERE lang IS NULL
+    UNION ALL
+    SELECT doc_id, '$.lang', 'enum_mismatch' FROM documents
+      WHERE lang IS NOT NULL AND lang NOT IN ({_LANG_LIST})
+    UNION ALL
+    SELECT doc_id, '$.source', 'not_string' FROM documents WHERE source IS NULL
+    UNION ALL
+    SELECT doc_id, '$.source', 'str_too_short' FROM documents
+      WHERE source IS NOT NULL AND length(source) < 1
+    UNION ALL
+    SELECT doc_id, '$.n_chars', 'not_number' FROM documents WHERE n_chars IS NULL
+    UNION ALL
+    SELECT doc_id, '$.n_chars', 'num_below_min' FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars < 0
+    UNION ALL
+    SELECT doc_id, '$.n_chars', 'num_above_max' FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars >= 0 AND n_chars > 600
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_violation_summary": f"""
+            SELECT path, rule, count(*) AS n
+            FROM ({_DOC_VIOLATION_SQL}) v
+            GROUP BY path, rule
+        """,
+        "doc_violations": f"SELECT * FROM ({_DOC_VIOLATION_SQL}) v",
+        "doc_null_counts": """
+            SELECT count(*) AS n_rows,
+                   count(*) - count(doc_id) AS doc_id_nulls,
+                   count(*) - count(text) AS text_nulls,
+                   count(*) - count(lang) AS lang_nulls,
+                   count(*) - count(source) AS source_nulls,
+                   count(*) - count(n_chars) AS n_chars_nulls
+            FROM documents
+        """,
+        "doc_col_stats": """
+            SELECT count(*) AS n_rows,
+                   min(n_chars) AS n_chars_min,
+                   max(n_chars) AS n_chars_max,
+                   round(avg(n_chars), 4) AS n_chars_avg,
+                   count(DISTINCT lang) AS n_lang,
+                   count(DISTINCT source) AS n_source,
+                   round(avg(length(text)), 4) AS text_avg_len
+            FROM documents
+        """,
+        "lineitem_dup_keys": """
+            SELECT l_orderkey, count(*) AS n
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "uniqueness_summary": """
+            SELECT count(*) AS n_dup_keys,
+                   coalesce(sum(n), 0) AS n_dup_rows
+            FROM (
+              SELECT l_orderkey, l_linenumber, count(*) AS n
+              FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+            ) d
+        """,
+        "ri_orphan_count": """
+            SELECT count(*) AS n_orphans
+            FROM events e
+            WHERE e.user_id IS NULL
+               OR NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+        """,
+        "doc_length_histogram": """
+            SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+                   CAST(floor(n_chars / 50) AS BIGINT) * 50 AS lo,
+                   (CAST(floor(n_chars / 50) AS BIGINT) + 1) * 50 AS hi,
+                   count(*) AS n
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY 1
+        """,
+        "event_type_enum_check": f"""
+            SELECT sum(CASE WHEN event_type IN ({_EVENT_LIST}) THEN 1 ELSE 0 END) AS n_ok,
+                   sum(CASE WHEN event_type IS NULL
+                             OR event_type NOT IN ({_EVENT_LIST}) THEN 1 ELSE 0 END) AS n_violating
+            FROM events
+        """,
+        "source_regex_check": """
+            SELECT sum(CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS n_match,
+                   sum(CASE WHEN source IS NULL
+                             OR NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS n_miss
+            FROM documents
+        """,
+        "value_range_check": """
+            SELECT sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS n_below,
+                   sum(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) AS n_above,
+                   sum(CASE WHEN value IS NOT NULL AND value >= 0.0 AND value <= 400.0
+                            THEN 1 ELSE 0 END) AS n_ok
+            FROM events
+        """,
+        "lang_chi2_drift": """
+            WITH tot AS (SELECT count(*)::DOUBLE AS n FROM documents),
+                 ct AS (SELECT lang, count(*)::DOUBLE AS n_c FROM documents GROUP BY lang),
+                 gt AS (SELECT source, count(*) AS n_g FROM documents GROUP BY source),
+                 obs AS (SELECT source, lang, count(*)::DOUBLE AS o
+                         FROM documents GROUP BY 1, 2)
+            SELECT g.source,
+                   g.n_g AS n_rows,
+                   round(sum(pow(coalesce(o.o, 0) - g.n_g * c.n_c / t.n, 2)
+                             / (g.n_g * c.n_c / t.n)), 6) AS chi2
+            FROM gt g
+            CROSS JOIN ct c
+            CROSS JOIN tot t
+            LEFT JOIN obs o ON o.source = g.source AND o.lang = c.lang
+            GROUP BY g.source, g.n_g
+        """,
+    }

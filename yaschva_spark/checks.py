@@ -1,0 +1,246 @@
+"""Table-level data-quality operators (SURVEY.md §2.2).
+
+These generalize the reference's per-value rules to whole columns at
+100 TB scale. Design rules applied throughout:
+
+* **One fused aggregate** for per-column stats — a single pass over the
+  table, partial+final hash agg (Catalyst does map-side combine
+  automatically), no per-column jobs.
+* **No sorts where a hash agg suffices** (uniqueness is groupBy, not a
+  window over a global sort).
+* **Explicit skew handling** — uniqueness supports a salt pre-aggregation
+  stage for hot keys (north rule requires explicit salting, not AQE alone).
+* **Broadcast the small side** of referential-integrity anti-joins; callers
+  flip to sort-merge for large dims.
+* Drift statistics are plain arithmetic over grouped counts (chi-square) or
+  an Arrow-batched ``applyInPandas`` stage against broadcast global
+  quantiles (KS) — never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --- per-column statistics ----------------------------------------------------
+def column_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """One-pass per-column stats: null count/rate, approx distinct (HLL++),
+    min/max, mean for numerics, avg length for strings.
+
+    Returns one row per column: (column, n_rows, null_count, null_rate,
+    approx_distinct, min_value, max_value, mean_value, avg_length).
+    All column stats are computed in a single ``agg`` — one scan, one
+    partial+final aggregation, regardless of column count.
+    """
+    cols = list(columns) if columns is not None else df.columns
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    exprs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        dt = by_name[c]
+        exprs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        exprs.append(F.approx_count_distinct(c).alias(f"{c}__distinct"))
+        if isinstance(dt, (T.NumericType,)):
+            exprs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            exprs.append(F.max(c).cast("double").alias(f"{c}__max"))
+            exprs.append(F.avg(F.col(c).cast("double")).alias(f"{c}__mean"))
+            exprs.append(F.lit(None).cast("double").alias(f"{c}__avglen"))
+        elif isinstance(dt, T.StringType):
+            exprs.append(F.min(c).cast("string").cast("double").alias(f"{c}__min"))
+            exprs.append(F.lit(None).cast("double").alias(f"{c}__max"))
+            exprs.append(F.lit(None).cast("double").alias(f"{c}__mean"))
+            exprs.append(F.avg(F.length(c)).alias(f"{c}__avglen"))
+        else:
+            exprs.extend(
+                F.lit(None).cast("double").alias(f"{c}__{s}")
+                for s in ("min", "max", "mean", "avglen")
+            )
+    wide = df.agg(*exprs)
+    # unpivot driver-side (one row in, len(cols) rows out — no shuffle)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"{c}__nulls").alias("null_count"),
+                        (F.col(f"{c}__nulls") / F.col("n_rows")).alias("null_rate"),
+                        F.col(f"{c}__distinct").alias("approx_distinct"),
+                        F.col(f"{c}__min").alias("min_value"),
+                        F.col(f"{c}__max").alias("max_value"),
+                        F.col(f"{c}__mean").alias("mean_value"),
+                        F.col(f"{c}__avglen").alias("avg_length"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.*")
+
+
+def length_histogram(df: DataFrame, column: str, bucket_width: int = 50) -> DataFrame:
+    """Histogram of string length (or numeric value) in fixed-width buckets.
+    Generalizes the reference's length rules (V7/V10/V12) to distributions."""
+    dt = dict((f.name, f.dataType) for f in df.schema.fields)[column]
+    measure = F.length(F.col(column)) if isinstance(dt, T.StringType) else F.col(column)
+    bucket = F.floor(measure / F.lit(bucket_width)).cast("long")
+    return (
+        df.where(F.col(column).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lo", F.col("bucket") * bucket_width)
+        .withColumn("hi", (F.col("bucket") + 1) * bucket_width)
+        .select("bucket", "lo", "hi", "n")
+    )
+
+
+# --- column-rule checks (reference V4-V7 over columns) --------------------------
+def enum_check(df: DataFrame, column: str, allowed: Sequence[str]) -> DataFrame:
+    """Count conforming/violating values for a string-enum rule (V6)."""
+    ok = F.col(column).isin(*allowed)
+    return df.agg(
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col(column).isNull() | ~ok, 1).otherwise(0)).alias("n_violating"),
+    )
+
+
+def regex_check(df: DataFrame, column: str, pattern: str) -> DataFrame:
+    """Regex conformance counts (V7). ``rlike`` = unanchored search, same as
+    the reference's ECMAScript ``.test``."""
+    ok = F.col(column).rlike(pattern)
+    return df.agg(
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_match"),
+        F.sum(F.when(F.col(column).isNull() | ~ok, 1).otherwise(0)).alias("n_miss"),
+    )
+
+
+def range_check(df: DataFrame, column: str, lo: float | None, hi: float | None) -> DataFrame:
+    """Range-rule violation counts (V4)."""
+    c = F.col(column)
+    below = F.lit(False) if lo is None else (c < lo)
+    above = F.lit(False) if hi is None else (c > hi)
+    return df.agg(
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(F.when(below, 1).otherwise(0)).alias("n_below"),
+        F.sum(F.when(above, 1).otherwise(0)).alias("n_above"),
+        F.sum(F.when(c.isNotNull() & ~below & ~above, 1).otherwise(0)).alias("n_ok"),
+    )
+
+
+# --- uniqueness (salted two-stage hash agg) --------------------------------------
+def duplicate_keys(
+    df: DataFrame, keys: Sequence[str], salt_buckets: int = 0
+) -> DataFrame:
+    """Keys occurring more than once: ``(keys..., dup_count)``.
+
+    Pure hash aggregation (no window/sort). With ``salt_buckets > 0`` the
+    count runs in two explicit stages — ``groupBy(keys, salt)`` then
+    ``groupBy(keys)`` — so one pathologically hot key (e.g. a repo holding
+    20% of all rows) is first reduced by ``salt_buckets`` parallel partial
+    counts instead of funneling into a single reducer. For normal keys
+    Spark's automatic partial aggregation is already two-phase; the explicit
+    salt is the skew insurance the north rule asks for.
+    """
+    key_cols = [F.col(k) for k in keys]
+    if salt_buckets > 0:
+        salt = (F.rand(seed=7) * salt_buckets).cast("int").alias("__salt")
+        partial = df.select(*key_cols, salt).groupBy(*keys, "__salt").agg(
+            F.count(F.lit(1)).alias("__partial")
+        )
+        counted = partial.groupBy(*keys).agg(F.sum("__partial").alias("dup_count"))
+    else:
+        counted = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("dup_count"))
+    return counted.filter(F.col("dup_count") > 1)
+
+
+def uniqueness_summary(df: DataFrame, keys: Sequence[str], salt_buckets: int = 0) -> DataFrame:
+    """(n_keys, n_dup_keys, n_dup_rows) — the manifest-level uniqueness metric."""
+    counted = duplicate_keys(df, keys, salt_buckets)
+    return counted.agg(
+        F.count(F.lit(1)).alias("n_dup_keys"),
+        F.coalesce(F.sum("dup_count"), F.lit(0)).alias("n_dup_rows"),
+    )
+
+
+# --- referential integrity ---------------------------------------------------------
+def ri_orphans(
+    fact: DataFrame,
+    fk: str,
+    dim: DataFrame,
+    pk: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact rows whose FK has no match in the dimension (left anti-join).
+
+    ``broadcast_dim=True`` for small dims (the repo dimension); False lets
+    Catalyst/AQE pick sort-merge for big ones. NULL FKs count as orphans
+    (they reference nothing)."""
+    keys = dim.select(F.col(pk).alias("__pk")).dropDuplicates(["__pk"])
+    if broadcast_dim:
+        keys = F.broadcast(keys)
+    return fact.join(keys, fact[fk] == F.col("__pk"), "left_anti")
+
+
+# --- distribution drift -----------------------------------------------------------
+def drift_chi2(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
+    """Per-group chi-square statistic of a categorical column against the
+    pooled (global) distribution. Pure grouped arithmetic: two hash aggs and
+    a broadcast join of category shares — no Python.
+
+    chi2_g = sum_c (o_gc - e_gc)^2 / e_gc,  e_gc = n_g * (n_c / n).
+    Categories a group lacks still contribute e_gc (o=0).
+    """
+    obs = df.groupBy(group_col, cat_col).agg(F.count(F.lit(1)).alias("o"))
+    cat_totals = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("n_c"))
+    grp_totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    n = df.count()
+    # dense grid group x category so missing cells contribute (0-e)^2/e
+    grid = grp_totals.crossJoin(F.broadcast(cat_totals))
+    joined = grid.join(obs, [group_col, cat_col], "left").fillna({"o": 0})
+    cell = ((F.col("o") - F.col("n_g") * F.col("n_c") / n) ** 2) / (
+        F.col("n_g") * F.col("n_c") / n
+    )
+    return (
+        joined.groupBy(group_col)
+        .agg(F.sum(cell).alias("chi2"), F.first("n_g").alias("n_rows"))
+        .select(group_col, "n_rows", F.round("chi2", 6).alias("chi2"))
+    )
+
+
+def drift_ks(
+    df: DataFrame, group_col: str, num_col: str, n_quantiles: int = 101
+) -> DataFrame:
+    """Per-group Kolmogorov–Smirnov statistic of a numeric column vs the
+    pooled distribution, via ``applyInPandas`` (Arrow batches, one pandas
+    call per group — no per-row Python).
+
+    The global ECDF is summarized by ``n_quantiles`` approximate quantiles
+    computed once and broadcast into the UDF closure; each group's ECDF is
+    evaluated on that grid. Groups are assumed to fit in executor memory
+    (true for per-partition drift checks; for giant groups sample first).
+    """
+    grid = df.approxQuantile(num_col, [i / (n_quantiles - 1) for i in range(n_quantiles)], 0.001)
+
+    def ks(pdf):
+        import numpy as np
+        import pandas as pd
+
+        x = np.sort(pdf[num_col].dropna().to_numpy())
+        if len(x) == 0:
+            stat = float("nan")
+        else:
+            g = np.asarray(grid)
+            ecdf_group = np.searchsorted(x, g, side="right") / len(x)
+            ecdf_global = np.linspace(0.0, 1.0, len(g))
+            stat = float(np.max(np.abs(ecdf_group - ecdf_global)))
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]], "n_rows": [len(pdf)], "ks_stat": [stat]}
+        )
+
+    out_schema = f"{group_col} string, n_rows long, ks_stat double"
+    return df.select(group_col, num_col).groupBy(group_col).applyInPandas(ks, out_schema)
