@@ -121,6 +121,77 @@ def _q_lang_chi2_drift(spark, sf_dir):
     return checks.drift_chi2(_t(spark, sf_dir, "documents"), "source", "lang")
 
 
+# --- training-data ops queries ---------------------------------------------
+def _q_exact_dup_props(spark, sf_dir):
+    from yaschva_spark.ops import dedup
+
+    events = _t(spark, sf_dir, "events")
+    groups = dedup.exact_duplicates(events, "event_id", "props")
+    return groups.select(
+        "content_hash", "n", F.array_min("ids").alias("min_id")
+    )
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    from yaschva_spark.ops import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select("i", "j", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_minhash_near_dup(spark, sf_dir):
+    from yaschva_spark.ops import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select("i", "j", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from yaschva_spark.ops import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk(emb, queries_df, k=3)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from yaschva_spark.ops import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_lsh_topk(emb, queries_df, k=3)
+
+
+def _q_text_profile(spark, sf_dir):
+    from yaschva_spark.ops import text
+
+    return text.quality_profile(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_lang_id(spark, sf_dir):
+    from yaschva_spark.ops import text
+
+    return text.lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from yaschva_spark.ops import text
+
+    return text.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_simhash(spark, sf_dir):
+    from yaschva_spark.ops import dedup
+
+    return dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_ks_drift(spark, sf_dir):
+    return checks.drift_ks(_t(spark, sf_dir, "documents"), "lang", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_violation_summary": _q_flagship_violation_summary,
@@ -135,6 +206,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_regex_check": _q_source_regex_check,
         "value_range_check": _q_value_range_check,
         "lang_chi2_drift": _q_lang_chi2_drift,
+        "exact_dup_props": _q_exact_dup_props,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (approximate by design)
+        "text_profile": _q_text_profile,
+        "lang_id_heuristic": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "simhash_fingerprints": _q_simhash,  # rows-only (FNV hash not in SQL)
+        "ks_drift_by_lang": _q_ks_drift,  # rows-only (applyInPandas stat)
     }
 
 
@@ -173,6 +254,37 @@ _DOC_VIOLATION_SQL = f"""
     SELECT doc_id, '$.n_chars', 'num_above_max' FROM documents
       WHERE n_chars IS NOT NULL AND n_chars >= 0 AND n_chars > 600
 """
+
+
+# word-3gram Jaccard pairs in DuckDB SQL (oracle for exact AND for
+# MinHash-LSH+verify, whose verified output equals the exact result)
+_JACCARD_SQL = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            for i in range(1, len(ws) - 1)]) AS sg
+           FROM t WHERE len(ws) >= 3),
+    p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+            len(list_intersect(a.sg, b.sg))::DOUBLE AS common,
+            len(a.sg) AS si, len(b.sg) AS sj
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT i, j, round(common / (si + sj - common), 6) AS jaccard
+    FROM p WHERE common / (si + sj - common) >= 0.5
+"""
+
+_STOP = {
+    "en": "['the','and','of','to','a','in','is','it','that','for']",
+    "fr": "['le','la','et','de','un','une','est','que','pour','dans']",
+    "es": "['el','la','y','de','un','una','es','que','por','para']",
+    "de": "['der','die','das','und','ist','ein','eine','zu','mit','von']",
+}
+
+
+def _hits(lang: str) -> str:
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"w -> list_contains({_STOP[lang]}, w)))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -263,5 +375,73 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot t
             LEFT JOIN obs o ON o.source = g.source AND o.lang = c.lang
             GROUP BY g.source, g.n_g
+        """,
+        "exact_dup_props": """
+            SELECT sha256(props) AS content_hash, count(*) AS n,
+                   min(event_id) AS min_id
+            FROM events GROUP BY props HAVING count(*) > 1
+        """,
+        "ngram_jaccard_pairs": _JACCARD_SQL,
+        "minhash_near_dup": _JACCARD_SQL,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 20),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            s AS (SELECT query_id, neighbor_id,
+                         list_cosine_similarity(qv, cv) AS sim
+                  FROM q CROSS JOIN c WHERE neighbor_id != query_id),
+            r AS (SELECT query_id, neighbor_id, sim,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, neighbor_id) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+            FROM r WHERE rank <= 3
+        """,
+        "text_profile": f"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                     length(text) AS n_chars,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE
+                       / greatest(length(text), 1) AS alpha_ratio,
+                     {_hits("en")}::DOUBLE
+                       / greatest(len(string_split(text, ' ')), 1) AS stop_ratio
+              FROM documents)
+            SELECT id, n_chars, n_tokens,
+                   round((n_chars - (n_tokens - 1)) / n_tokens::DOUBLE, 6) AS mean_word_len,
+                   round(alpha_ratio, 6) AS alpha_ratio,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(
+                     (CASE WHEN n_tokens < 5 THEN n_tokens / 5.0
+                           WHEN n_tokens > 1000 THEN 0.5 ELSE 1.0 END)
+                     * (0.6 * alpha_ratio + 0.4 * least(stop_ratio * 5, 1.0)), 6
+                   ) AS quality_score
+            FROM base
+        """,
+        "lang_id_heuristic": f"""
+            WITH h AS (
+              SELECT doc_id AS id,
+                     {_hits("en")} AS hits_en,
+                     {_hits("fr")} AS hits_fr,
+                     {_hits("es")} AS hits_es,
+                     {_hits("de")} AS hits_de
+              FROM documents)
+            SELECT id, hits_en, hits_fr, hits_es, hits_de,
+                   CASE WHEN greatest(hits_en, hits_fr, hits_es, hits_de) = 0 THEN 'und'
+                        WHEN hits_en = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'en'
+                        WHEN hits_fr = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'fr'
+                        WHEN hits_es = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'es'
+                        ELSE 'de' END AS pred_lang
+            FROM h
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id AS id,
+                   SUM(i * length(w)) % 1000000007 AS fingerprint
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS w,
+                         generate_subscripts(string_split(text, ' '), 1) AS i
+                  FROM documents) u
+            GROUP BY doc_id
         """,
     }

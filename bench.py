@@ -1,0 +1,106 @@
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) plus the north-rule
+validation pipeline over the synthetic code table, and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "rows_per_sec": ..., "bench_rows": ...}
+
+The code table is generated once per (rows, seed) into .bench/ (gitignored)
+so bench measures scan+validate, not generation. Tune size with
+$SPARK_GRAFT_BENCH_ROWS (default 2,000,000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from yaschva_spark.session import get_spark
+
+
+def _ensure_code_table(spark, n_rows: int, seed: int = 42) -> str:
+    from yaschva_spark.fixtures import code_files
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", f"code_{n_rows}_{seed}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        code_files(spark, n_rows, seed=seed).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark(app_name="yaschva_spark_bench")
+
+    import __spark_entry__ as entrymod
+    from yaschva_spark.fixtures import repos_dim
+    from yaschva_spark.pipeline import run_validation_job
+
+    timings: dict[str, float] = {}
+
+    # 1) driver-contract queries at the benchmark scale factor.
+    # BASELINE.md protocol: exclude JIT/codegen warmup — one warmup run,
+    # then the median of 3 timed runs.
+    def _timed(fn, reps=3):
+        fn()  # warmup (JIT + page cache)
+        times = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn()
+            times.append(time.monotonic() - t0)
+        return round(sorted(times)[reps // 2], 4)
+
+    for name, fn in entrymod.queries().items():
+        timings[name] = _timed(lambda f=fn: f(spark, sf_dir).count())
+
+    # 2) the north-rule validation pipeline over the code table
+    code_path = _ensure_code_table(spark, bench_rows)
+    code = spark.read.parquet(code_path)
+    repos = repos_dim(spark)
+
+    def _run_pipeline():
+        out_dir = tempfile.mkdtemp(prefix="yv_bench_")
+        try:
+            return run_validation_job(spark, code, repos, out_dir, n_buckets=64)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    result = _run_pipeline()  # warmup
+    runs = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        result = _run_pipeline()
+        runs.append(time.monotonic() - t0)
+    pipeline_sec = sorted(runs)[1]
+    timings["validation_pipeline"] = round(pipeline_sec, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "validation_pipeline_sec",
+                "value": round(pipeline_sec, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "total_sec": total,
+                "bench_rows": result.n_rows,
+                "rows_per_sec": round(result.n_rows / pipeline_sec, 1),
+                "n_violations": result.n_violations,
+                "n_dup_keys": result.n_dup_keys,
+                "n_orphans": result.n_orphans,
+            }
+        )
+    )
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

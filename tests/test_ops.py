@@ -1,0 +1,161 @@
+"""Training-data ops: dedup, similarity, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yaschva_spark.ops import dedup, similarity, text
+from yaschva_spark.ops import multimodal as mm
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+# --- dedup -------------------------------------------------------------------
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "a b c")], "id long, t string"
+    )
+    got = dedup.exact_duplicates(df, "id", "t").collect()
+    assert len(got) == 1
+    assert got[0]["n"] == 3 and got[0]["ids"] == [1, 2, 4]
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], "id long, t string")
+    got = {r["id"]: r["shingle_set"] for r in dedup.shingles(df, "id", "t", n=3).collect()}
+    assert 1 not in got  # too short for a 3-gram
+    assert sorted(got[2]) == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_finds_injected_near_dups(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert len(pairs) > 0
+    assert all(p["i"] < p["j"] and p["jaccard"] >= 0.5 for p in pairs)
+
+
+def test_minhash_lsh_matches_exact(docs):
+    exact = {
+        (r["i"], r["j"]) for r in
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["i"], r["j"]) for r in
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert lsh == exact  # verification makes LSH output exact (given recall)
+
+
+def test_simhash_near_dups(spark, docs):
+    # mutated copy of a doc pairs with the original; unrelated docs don't
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "id long, t string",
+    )
+    pairs = dedup.simhash_pairs(base, "id", "t", max_hamming=16).collect()
+    keys = {(p["i"], p["j"]) for p in pairs}
+    assert (1, 2) in keys
+    assert (1, 3) not in keys and (2, 3) not in keys
+    # determinism
+    fp1 = {r["id"]: r["simhash"] for r in dedup.simhash(base, "id", "t").collect()}
+    fp2 = {r["id"]: r["simhash"] for r in dedup.simhash(base, "id", "t").collect()}
+    assert fp1 == fp2
+
+
+# --- similarity ---------------------------------------------------------------
+def test_cosine_topk_exact(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.cosine_topk(emb, queries, k=3).collect()
+    assert len(got) == 5 * 3
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_ann_lsh_recall(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(emb, queries, k=1).collect()
+    }
+    # 4 planes -> 16 buckets over 500 vectors: top-1 recall should be decent
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
+
+
+# --- text ----------------------------------------------------------------------
+def test_token_counts_and_fingerprint(spark):
+    df = spark.createDataFrame([(1, "ab cd efg"), (2, "efg cd ab")], "id long, t string")
+    tc = {r["id"]: r for r in text.token_counts(df, "id", "t").collect()}
+    assert tc[1]["n_tokens"] == 3 and tc[1]["n_words_regex"] == 3
+    fp = {r["id"]: r["fingerprint"] for r in text.fingerprint(df, "id", "t").collect()}
+    # 1*2 + 2*2 + 3*3 = 15
+    assert fp[1] == 15
+    assert fp[1] != fp[2]  # same bag of words, different order -> different fp
+
+
+def test_quality_profile(docs):
+    prof = text.quality_profile(docs, "doc_id", "text")
+    rows = prof.collect()
+    assert all(0 <= r["quality_score"] <= 1 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "le chat et la maison de la rue"),
+            (3, "zz yy xx"),
+        ],
+        "id long, t string",
+    )
+    got = {r["id"]: r["pred_lang"] for r in text.lang_id(df, "id", "t").collect()}
+    assert got[1] == "en" and got[2] == "fr" and got[3] == "und"
+
+
+# --- multimodal -----------------------------------------------------------------
+def test_multimodal_plumbing(spark):
+    assets = mm.synthetic_assets(spark, 100)
+    feats = mm.decode_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 100
+    assert all(r["n_bytes"] > 0 and r["width"] >= 16 for r in rows)
+    images = [r for r in rows if r["kind"] == "image"]
+    assert all(r["n_frames"] == 1 for r in images)
+    # deterministic across runs
+    again = {r["asset_id"]: r["digest"] for r in mm.decode_features(assets).collect()}
+    assert all(again[r["asset_id"]] == r["digest"] for r in rows)
+    # frame-sample plan only covers videos, stride respected
+    plan = mm.frame_sample_plan(assets, every_nth=50).collect()
+    vids = {r["asset_id"] for r in rows if r["kind"] == "video"}
+    assert {r["asset_id"] for r in plan} == vids
+    assert all(r["frame_idx"] % 50 == 0 for r in plan)
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_real("image", b"bytes")

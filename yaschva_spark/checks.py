@@ -138,13 +138,18 @@ def duplicate_keys(
 ) -> DataFrame:
     """Keys occurring more than once: ``(keys..., dup_count)``.
 
-    Pure hash aggregation (no window/sort). With ``salt_buckets > 0`` the
-    count runs in two explicit stages — ``groupBy(keys, salt)`` then
-    ``groupBy(keys)`` — so one pathologically hot key (e.g. a repo holding
-    20% of all rows) is first reduced by ``salt_buckets`` parallel partial
-    counts instead of funneling into a single reducer. For normal keys
-    Spark's automatic partial aggregation is already two-phase; the explicit
-    salt is the skew insurance the north rule asks for.
+    Pure hash aggregation (no window/sort). Default ``salt_buckets=0``:
+    for *counting*, Spark's automatic partial aggregation already collapses
+    hot keys map-side (each task emits one partial count per key), so no
+    reducer hotspot exists even for a key holding 20% of all rows — and
+    explicit salting measured ~10x slower on near-unique keys (it doubles
+    the shuffle and defeats map-side combine).
+
+    ``salt_buckets > 0`` switches to the explicit two-stage
+    ``groupBy(keys, salt)`` -> ``groupBy(keys)`` plan. Use it when the
+    aggregation has no map-side combine (exact count-distinct payloads,
+    collect_list-style state) or when the grouped output feeds a skewed
+    join — the cases where the north rule's explicit skew handling is real.
     """
     key_cols = [F.col(k) for k in keys]
     if salt_buckets > 0:

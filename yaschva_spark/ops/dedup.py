@@ -1,0 +1,260 @@
+"""Deduplication operators for document tables.
+
+* :func:`exact_duplicates` — hash-groupBy (sha256), the O(n) exact pass.
+* :func:`shingles` / :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via
+  an inverted shingle index (explode -> self-join on shingle -> count common)
+  — no O(n^2) cross join; the join only materializes pairs that share at
+  least one shingle.
+* :func:`minhash_lsh_pairs` — the 100 TB path: MinHash signatures
+  (xxhash64 per seed, array_min over shingles — pure Catalyst), banded LSH
+  bucketing to generate candidates, then **exact Jaccard verification** of
+  candidates, so the output is deterministic (equal to the exact operator
+  whenever LSH recall holds; band/row parameters are chosen for the
+  threshold).
+* :func:`simhash` / :func:`simhash_pairs` — 64-bit SimHash (vectorized
+  pandas UDF for the bit-voting, which Catalyst HOFs can't express cleanly),
+  banded by 16-bit chunks, Hamming-verified.
+
+All operators take (df, id_col, text_col) and tokenize identically
+(whitespace split), so Spark results are reproducible in ANSI SQL oracles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, n, ids)."""
+    hashed = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle_set).
+    Tokenization = split on single spaces (reproducible in SQL)."""
+    words = F.split(F.col(text_col), " ")
+    # guard: sequence(0, x) with x < 0 would generate a DESCENDING sequence
+    # in Spark, so short texts must short-circuit to an empty set
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.array_distinct(grams).alias("shingle_set")
+    ).filter(F.size("shingle_set") > 0)
+
+
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """Inverted-index exact Jaccard: pairs sharing >= 1 shingle, with their
+    Jaccard similarity. Input: (id, shingle_set)."""
+    sizes = sh.select("id", F.size("shingle_set").alias("sz"))
+    inv = sh.select("id", F.explode("shingle_set").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
+        .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("common")
+                / (F.col("sz_i") + F.col("sz_j") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact near-duplicate pairs: word n-gram Jaccard >= threshold.
+    Output (i, j, jaccard) with i < j. Exact but join-bound — use
+    :func:`minhash_lsh_pairs` at scale."""
+    sh = shingles(df, id_col, text_col, n)
+    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per document: for seed k, min over shingles of
+    xxhash64(shingle, k). Pure Catalyst (transform + array_min), one pass."""
+    def _hash_with_seed(k: int):
+        # factory keeps the lambda single-arg: a 2-arg lambda would make
+        # F.transform pass the array index as the second argument
+        return lambda s: F.xxhash64(s, F.lit(k))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingle_set"), _hash_with_seed(k)))
+            for k in range(num_hashes)
+        ]
+    )
+    return sh.select("id", "shingle_set", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Scale path near-dup: MinHash + banded LSH candidates + exact verify.
+
+    With 32 bands x 2 rows, a pair at Jaccard j becomes a candidate with
+    p = 1-(1-j^2)^32 (j=0.5 -> 0.9999), so verified output matches the exact
+    operator for thresholds >= 0.5. The candidate join is on (band, bucket)
+    — shuffle is proportional to documents x bands, never O(n^2).
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, id_col, text_col, n)
+    sigs = minhash_signatures(sh, num_hashes)
+    buckets = sigs.select(
+        "id",
+        "shingle_set",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "shingle_set", "bb.band", "bb.bucket")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("i"),
+            F.col("b.id").alias("j"),
+            F.col("a.shingle_set").alias("set_i"),
+            F.col("b.shingle_set").alias("set_j"),
+        )
+        .dropDuplicates(["i", "j"])
+    )
+    inter = F.size(F.array_intersect("set_i", "set_j"))
+    union = F.size("set_i") + F.size("set_j") - inter
+    return cand.select(
+        "i", "j", (inter / union).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """Vectorized 64-bit SimHash: per token a stable 64-bit hash votes +-1 on
+    each bit; the sign vector is the fingerprint. numpy over Arrow batches —
+    no per-row Python objects beyond the token split."""
+    import numpy as np
+
+    def h64(token: str) -> int:
+        # FNV-1a 64-bit — portable, stable, no deps
+        acc = 0xCBF29CE484222325
+        for ch in token.encode("utf-8"):
+            acc = ((acc ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return acc
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for idx, text in enumerate(texts):
+        if text is None:
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for tok in text.split(" "):
+            hv = np.uint64(h64(tok))  # plain Python ints >= 2^63 break ufuncs
+            bits = ((hv >> shifts) & np.uint64(1)).astype(np.int64)
+            votes += 2 * bits - 1
+        fp = 0
+        for bit_idx in range(64):
+            if votes[bit_idx] > 0:
+                fp |= 1 << bit_idx
+        out[idx] = fp - 0x8000000000000000  # to signed long
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 64-bit fingerprints as signed longs."""
+    return df.select(F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Banding: 4 chunks of 16 bits — any pair with Hamming <= 3*16/16... by
+    pigeonhole, a pair within max_hamming <= 15 shares at least one exact
+    16-bit chunk out of 4 when max_hamming <= 3; for larger budgets more
+    chunks would be needed. Candidates join on (chunk_idx, chunk_value),
+    then exact popcount verification.
+    """
+    fp = simhash(df, id_col, text_col)
+    chunks = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk_idx", "cc.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("i"),
+            F.col("b.id").alias("j"),
+            F.col("a.simhash").alias("h_i"),
+            F.col("b.simhash").alias("h_j"),
+        )
+        .dropDuplicates(["i", "j"])
+    )
+    hamming = F.bit_count(F.col("h_i").bitwiseXOR(F.col("h_j")))
+    return cand.select("i", "j", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
