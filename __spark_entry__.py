@@ -164,6 +164,40 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return similarity.ann_lsh_topk(emb, queries_df, k=3)
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    from yaschva_spark.ops import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    from yaschva_spark.ops import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_lsh(emb, threshold=0.4)
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    from yaschva_spark.ops import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_ivf_topk(emb, queries_df, k=3)
+
+
+def _q_token_counts(spark, sf_dir):
+    from yaschva_spark.ops import text
+
+    return text.token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from yaschva_spark.ops import dedup
+
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
 def _q_text_profile(spark, sf_dir):
     from yaschva_spark.ops import text
 
@@ -211,6 +245,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (approximate by design)
+        "ann_ivf_topk": _q_ann_ivf_topk,  # rows-only (approximate by design)
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # rows-only (recall < 1)
+        "token_counts": _q_token_counts,
+        "simhash_pairs": _q_simhash_pairs,  # rows-only (FNV hash not in SQL)
         "text_profile": _q_text_profile,
         "lang_id_heuristic": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -383,6 +422,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "minhash_near_dup": _JACCARD_SQL,
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS i, b.vec_id AS j,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+        "token_counts": r"""
+            SELECT doc_id AS id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+                     AS n_words_regex
+            FROM documents
+        """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 20),

@@ -159,3 +159,53 @@ def test_multimodal_plumbing(spark):
 def test_decode_real_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_real("image", b"bytes")
+
+
+def test_embedding_near_dup_exact(emb):
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    assert all(p["i"] < p["j"] and p["sim"] >= 0.4 for p in pairs)
+    # brute-force spot check on a small slice: every returned pair really is
+    # above threshold, and a known below-threshold pair is absent
+    got = {(p["i"], p["j"]) for p in pairs}
+    low = similarity.embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    assert {(p["i"], p["j"]) for p in low} >= got  # monotone in threshold
+
+
+def test_embedding_near_dup_lsh_precision_and_recall(emb):
+    exact = {
+        (p["i"], p["j"])
+        for p in similarity.embedding_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    approx = {
+        (p["i"], p["j"])
+        for p in similarity.embedding_near_dup_lsh(emb, threshold=0.35).collect()
+    }
+    assert approx <= exact  # exact verification -> precision 1.0
+    if exact:
+        assert len(approx) / len(exact) >= 0.6  # multi-table recall
+
+
+def test_ann_ivf_recall(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_topk(emb, queries, k=1, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_ann_ivf_deterministic(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, similarity.ann_ivf_topk(emb, queries, k=2).collect()))
+    b = sorted(map(tuple, similarity.ann_ivf_topk(emb, queries, k=2).collect()))
+    assert a == b
+
+
+def test_simhash_pairs_query_shape(docs):
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    assert all(p["i"] < p["j"] and p["hamming"] <= 3 for p in pairs)

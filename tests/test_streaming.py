@@ -69,3 +69,52 @@ def test_windowed_violation_counts(spark, events_dir):
         .count()
     )
     assert sum(r["n"] for r in got) == batch_total
+
+
+def test_stateful_violation_totals_accumulates(spark, tmp_path):
+    """applyInPandasWithState: totals accumulate across restarts via the
+    checkpoint (two availableNow drains over a growing directory)."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.read.parquet(f"{SF}/events.parquet").limit(200)
+    batch.write.mode("overwrite").parquet(str(src / "b1"))
+
+    schema = spark.read.parquet(str(src / "b1")).schema
+
+    sink = str(tmp_path / "sink")
+
+    def drain(name):
+        stream = streaming.read_stream(spark, str(src) + "/*", schema)
+        validated = streaming.validate_stream(stream, EVENT_SCHEMA)
+        totals = streaming.stateful_violation_totals(validated, key_col="event_type")
+        q = (
+            totals.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # latest emission per key = the running totals
+        rows = spark.read.parquet(sink).collect()
+        latest = {}
+        for r in rows:
+            if r["key"] not in latest or r["n_rows_total"] > latest[r["key"]]["n_rows_total"]:
+                latest[r["key"]] = r
+        return latest
+
+    first = drain("stateful_1")
+    assert sum(r["n_rows_total"] for r in first.values()) == 200
+
+    # second batch arrives; state carries the first batch's totals
+    batch.write.mode("overwrite").parquet(str(src / "b2"))
+    second = drain("stateful_2")
+    assert sum(r["n_rows_total"] for r in second.values()) == 400
+    for k, r in second.items():
+        assert r["n_rows_total"] == 2 * first[k]["n_rows_total"]
+        assert r["n_violations_total"] == 2 * first[k]["n_violations_total"]

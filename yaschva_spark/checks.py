@@ -172,6 +172,51 @@ def uniqueness_summary(df: DataFrame, keys: Sequence[str], salt_buckets: int = 0
     )
 
 
+def duplicate_key_fingerprints(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Shuffle-light duplicate detection: group by a 128-bit key fingerprint
+    (two independent xxhash64 seeds) instead of the key columns themselves.
+
+    The shuffle carries 16 bytes per row instead of the full key tuple —
+    on wide string keys like (repo, path, commit) that is a ~5x byte
+    reduction, which is what matters at 10^12 rows where the uniqueness
+    shuffle is the job's largest exchange. Collision probability for the
+    128-bit pair is ~n^2/2^129 (~10^-15 even at 10^12 keys).
+
+    Output: (fp1, fp2, dup_count) with dup_count > 1. To recover the actual
+    key values, semi-join this (tiny) result back to the table on the same
+    fingerprint expressions — see :func:`duplicate_keys_via_fingerprint`.
+    """
+    cols = [F.col(k) for k in keys]
+    fp1 = F.xxhash64(*cols, F.lit(1))
+    fp2 = F.xxhash64(*cols, F.lit(2))
+    return (
+        df.select(fp1.alias("fp1"), fp2.alias("fp2"))
+        .groupBy("fp1", "fp2")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def duplicate_keys_via_fingerprint(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Exact duplicate keys at fingerprint-shuffle cost: detect duplicate
+    fingerprints (16-byte shuffle), then broadcast the tiny duplicate set
+    back onto the table and re-count by the REAL key columns — any hash
+    collision is eliminated by the verification count, so the output is
+    exactly :func:`duplicate_keys` with a fraction of the shuffle."""
+    cols = [F.col(k) for k in keys]
+    fps = duplicate_key_fingerprints(df, keys).select("fp1", "fp2")
+    candidates = df.join(
+        F.broadcast(fps),
+        (F.xxhash64(*cols, F.lit(1)) == F.col("fp1"))
+        & (F.xxhash64(*cols, F.lit(2)) == F.col("fp2")),
+    )
+    return (
+        candidates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
 # --- referential integrity ---------------------------------------------------------
 def ri_orphans(
     fact: DataFrame,

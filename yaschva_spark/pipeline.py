@@ -121,26 +121,42 @@ def run_validation_job(
             violations_path
         )
 
-    # 2) uniqueness on (repo, path, commit): plain two-phase hash agg.
-    # Spark's partial aggregation already collapses hot keys map-side for
-    # counts, so salting the near-unique triple only multiplies shuffle rows
-    # (measured 10x slower). salt_buckets stays available for aggregations
-    # without map-side combine; see checks.duplicate_keys.
-    dup_summary = checks.uniqueness_summary(
-        validated.select("repo", "path", "commit"), ["repo", "path", "commit"]
-    ).collect()[0]
+    # 2) uniqueness on (repo, path, commit): fingerprint-shuffle hash agg —
+    # the triple is near-unique, so the groupBy shuffle carries ~every row;
+    # shuffling the 128-bit key fingerprint instead of three strings cuts
+    # the job's largest exchange ~5x in bytes (checks.duplicate_key_
+    # fingerprints; collision odds ~2^-129 * n^2). Spark's partial agg
+    # already collapses hot keys map-side, so no salting is needed for
+    # counting (salt_buckets remains available via checks.duplicate_keys
+    # for aggs without map-side combine).
+    dup_summary = (
+        checks.duplicate_key_fingerprints(
+            validated.select("repo", "path", "commit"), ["repo", "path", "commit"]
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_keys"),
+            F.coalesce(F.sum("dup_count"), F.lit(0)).alias("n_dup_rows"),
+        )
+        .collect()[0]
+    )
 
-    # 3) referential integrity: facts -> repo dimension (broadcast anti-join,
-    # projected to the FK column — the join needs nothing else)
-    n_orphans = checks.ri_orphans(validated.select("repo"), "repo", repos_df, "repo").count()
-
-    # 4) per-bucket manifest: lineage + metrics in ONE hash aggregation
+    # 3+4) per-bucket manifest: lineage + metrics + referential integrity in
+    # ONE hash aggregation. The repo-dimension check rides along as a
+    # broadcast left join (a map-side hash probe — no extra scan, no extra
+    # job, and the manifest gains per-bucket orphan counts for lineage).
+    dim_keys = F.broadcast(
+        repos_df.select(F.col("repo").alias("__dim_repo")).dropDuplicates(["__dim_repo"])
+    )
+    with_dim = validated.join(
+        dim_keys, validated["repo"] == F.col("__dim_repo"), "left"
+    )
     manifest = (
-        validated.groupBy(F.col(BUCKET_COL).alias("bucket"))
+        with_dim.groupBy(F.col(BUCKET_COL).alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum((~F.col(PASS_COL)).cast("long")).alias("n_invalid_rows"),
             F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
+            F.sum(F.col("__dim_repo").isNull().cast("long")).alias("n_orphans"),
             F.approx_count_distinct("repo").alias("n_repos"),
             # content-integrity lineage: order-insensitive xor digest of the
             # per-row sha256 invariant (first 15 hex chars as a long) —
@@ -160,17 +176,17 @@ def run_validation_job(
             F.sum("n_rows").alias("r"),
             F.sum("n_invalid_rows").alias("i"),
             F.sum("n_violations").alias("v"),
+            F.sum("n_orphans").alias("o"),
             F.count(F.lit(1)).alias("b"),
         )
         .collect()[0]
     )
-    validated.unpersist()
     return JobResult(
         n_buckets_processed=len(pend),
         n_rows=totals["r"],
         n_invalid_rows=totals["i"],
         n_violations=totals["v"],
         n_dup_keys=dup_summary["n_dup_keys"],
-        n_orphans=n_orphans,
+        n_orphans=totals["o"],
         wall_sec=time.monotonic() - t0,
     )

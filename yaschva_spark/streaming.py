@@ -95,3 +95,54 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_violation_totals(
+    validated: DataFrame,
+    key_col: str = "repo",
+) -> DataFrame:
+    """Custom stateful operator: cumulative per-key row/violation totals
+    across micro-batches via ``applyInPandasWithState`` (Arrow-batched; state
+    is two longs per key, so executor state stores scale to 10^8 keys).
+
+    Emits one row per key per trigger: (key, n_rows_total, n_violations_total,
+    pass_rate) — the continuously-maintained analog of the batch manifest.
+    State survives restarts through the query's checkpointLocation."""
+    import pandas as pd  # noqa: F401  (imported for the closure)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = validated.select(
+        F.col(key_col).alias("key"),
+        F.size(VIOLATIONS_COL).alias("n_viol"),
+        (~F.col(PASS_COL)).cast("long").alias("invalid"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows, invalid, viols = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            rows += len(pdf)
+            invalid += int(pdf["invalid"].sum())
+            viols += int(pdf["n_viol"].sum())
+        state.update((rows, invalid, viols))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_rows_total": [rows],
+                "n_invalid_total": [invalid],
+                "n_violations_total": [viols],
+                "pass_rate": [1.0 - invalid / max(rows, 1)],
+            }
+        )
+
+    return src.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "key string, n_rows_total long, n_invalid_total long, "
+            "n_violations_total long, pass_rate double"
+        ),
+        stateStructType="n_rows long, n_invalid long, n_viol long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
