@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -32,17 +33,25 @@ def main() -> None:
     from yaschva_spark.pipeline import run_validation_job
     from yaschva_spark.session import get_spark
 
+    # shuffle spills and the job's output sinks go to tmpfs: on a real
+    # cluster every executor brings its own local SSD (disk bandwidth scales
+    # with N), but this sandbox has ONE virtual disk shared by all threads —
+    # leaving shuffle/sink on it would measure disk contention, not the
+    # job's scaling. Input parquet stays on disk (page-cache warm).
+    shm = "/dev/shm/yv_scaling"
+    os.makedirs(shm, exist_ok=True)
     spark = get_spark(
         app_name=f"yv_scaling_{args.master}",
         master=args.master,
         shuffle_partitions=args.shuffle,
+        extra_conf={"spark.local.dir": os.path.join(shm, "local")},
     )
     code = spark.read.parquet(args.data)
     repos = repos_dim(spark)
     n_rows = code.count()
 
     def one_run() -> float:
-        out = tempfile.mkdtemp(prefix="yv_scale_")
+        out = tempfile.mkdtemp(prefix="yv_scale_", dir=shm)
         try:
             t0 = time.monotonic()
             run_validation_job(spark, code, repos, out, n_buckets=64)

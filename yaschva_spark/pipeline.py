@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -116,10 +117,6 @@ def run_validation_job(
         "bucket", "repo", "path", "commit", "content_sha",
         "field_path", "rule", "error", "value",
     )
-    if write_violations:
-        viol.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
-            violations_path
-        )
 
     # 2) uniqueness on (repo, path, commit): fingerprint-shuffle hash agg —
     # the triple is near-unique, so the groupBy shuffle carries ~every row;
@@ -129,15 +126,11 @@ def run_validation_job(
     # already collapses hot keys map-side, so no salting is needed for
     # counting (salt_buckets remains available via checks.duplicate_keys
     # for aggs without map-side combine).
-    dup_summary = (
-        checks.duplicate_key_fingerprints(
-            validated.select("repo", "path", "commit"), ["repo", "path", "commit"]
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_keys"),
-            F.coalesce(F.sum("dup_count"), F.lit(0)).alias("n_dup_rows"),
-        )
-        .collect()[0]
+    dup_summary_df = checks.duplicate_key_fingerprints(
+        validated.select("repo", "path", "commit"), ["repo", "path", "commit"]
+    ).agg(
+        F.count(F.lit(1)).alias("n_dup_keys"),
+        F.coalesce(F.sum("dup_count"), F.lit(0)).alias("n_dup_rows"),
     )
 
     # 3+4) per-bucket manifest: lineage + metrics + referential integrity in
@@ -168,7 +161,31 @@ def run_validation_job(
             F.current_timestamp().alias("processed_at"),
         )
     )
-    manifest.write.mode("append").parquet(manifest_path)
+
+    # The three actions are independent — submit them CONCURRENTLY from
+    # driver threads (one SparkContext schedules all three job DAGs at
+    # once). Stage tails and per-job driver gaps overlap with the other
+    # jobs' compute instead of idling the executors; on a cluster this is
+    # the standard multi-action driver pattern. Results are identical to
+    # serial execution (independent sinks/aggregates over the same
+    # immutable input).
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {}
+        if write_violations:
+            futs["viol"] = pool.submit(
+                lambda: viol.repartition("bucket")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(violations_path)
+            )
+        futs["dup"] = pool.submit(lambda: dup_summary_df.collect()[0])
+        futs["manifest"] = pool.submit(
+            lambda: manifest.write.mode("append").parquet(manifest_path)
+        )
+        dup_summary = futs["dup"].result()
+        if "viol" in futs:
+            futs["viol"].result()
+        futs["manifest"].result()
 
     totals = (
         spark.read.parquet(manifest_path)
