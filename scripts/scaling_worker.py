@@ -1,0 +1,86 @@
+"""Persistent single-parallelism worker for the interleaved scaling bench.
+
+Holds one warm SparkSession at a fixed local[N]; executes one full
+validation-job run (plus a small pure-CPU probe) per "RUN" command on stdin,
+printing one JSON line per run. The coordinator (bench_scaling.py) runs two
+of these — local[N] and local[4N] — and alternates RUN commands between
+them so each pair of measurements shares the same ambient-noise window.
+
+Protocol (line-oriented, stdin/stdout):
+  <- READY
+  -> RUN        (repeatable)
+  <- {"job_sec": ..., "micro_sec": ...}
+  -> QUIT
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", required=True)
+    ap.add_argument("--shuffle", type=int, required=True)
+    ap.add_argument("--data", required=True)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from yaschva_spark.fixtures import repos_dim
+    from yaschva_spark.pipeline import run_validation_job
+    from yaschva_spark.session import get_spark
+
+    shm = "/dev/shm/yv_scaling"
+    os.makedirs(shm, exist_ok=True)
+    spark = get_spark(
+        app_name=f"yv_worker_{args.master}",
+        master=args.master,
+        shuffle_partitions=args.shuffle,
+        extra_conf={"spark.local.dir": os.path.join(shm, "local")},
+    )
+    code = spark.read.parquet(args.data)
+    repos = repos_dim(spark)
+    n_rows = code.count()
+
+    # the probe must be long enough (tens of seconds at local[1]) to sample
+    # the same hypervisor-steal window as the job run it is paired with —
+    # short probes made per-rep capacity ratios swing 1.4-3.5x
+    micro_df = spark.range(0, 20_000_000, 1, 16)
+    micro_expr = F.bit_xor(
+        F.conv(F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 15), 16, 10)
+        .cast("long")
+    )
+
+    def one_run() -> dict:
+        out = tempfile.mkdtemp(prefix="yv_scale_", dir=shm)
+        try:
+            t0 = time.monotonic()
+            run_validation_job(spark, code, repos, out, n_buckets=64)
+            job_sec = time.monotonic() - t0
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        t0 = time.monotonic()
+        micro_df.agg(micro_expr).collect()
+        micro_sec = time.monotonic() - t0
+        return {"job_sec": round(job_sec, 3), "micro_sec": round(micro_sec, 3),
+                "rows": n_rows}
+
+    print("READY", flush=True)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "RUN":
+            print(json.dumps(one_run()), flush=True)
+        elif cmd == "QUIT":
+            break
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

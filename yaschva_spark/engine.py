@@ -79,9 +79,13 @@ def explode_violations(validated: DataFrame, id_cols: list[str]) -> DataFrame:
     """Violation sink shape: one row per violation
     ``(id..., path, rule, error, value)`` — the reference's error tree in
     table form (SURVEY.md §1.2)."""
+    # no explicit pass-filter: a non-outer explode already drops rows whose
+    # violations array is empty (Catalyst infers `size(v) > 0`), and an
+    # explicit `filter(~pass)` would make the optimizer re-evaluate the whole
+    # violations expression a second time inside the Filter node
     v = F.explode(F.col(VIOLATIONS_COL)).alias("v")
     return (
-        validated.filter(~F.col(PASS_COL))
+        validated
         .select(*id_cols, v)
         .select(
             *id_cols,

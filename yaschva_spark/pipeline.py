@@ -105,7 +105,10 @@ def run_validation_job(
     # of one file per task per bucket. content_sha (the per-row invariant,
     # input_hint) is computed here on FAILING rows only — the full-table sha
     # pass happens once, in the manifest digest below.
-    viol = validated.filter(~F.col(PASS_COL)).select(
+    # no explicit ~pass filter: the non-outer explode drops passing rows
+    # (empty violations array) and avoids re-evaluating the violations
+    # expression inside an extra Filter node
+    viol = validated.select(
         F.col(BUCKET_COL).alias("bucket"),
         "repo",
         "path",
