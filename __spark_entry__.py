@@ -81,6 +81,28 @@ def _q_doc_col_stats(spark, sf_dir):
     )
 
 
+def _q_doc_column_stats(spark, sf_dir):
+    # the fused one-pass per-column stats operator (checks.column_stats);
+    # approx_distinct is excluded from the oracle comparison because DuckDB's
+    # HLL sketch differs from Spark's (the operator's HLL is pytest-covered)
+    docs = _t(spark, sf_dir, "documents")
+    s = checks.column_stats(docs)
+
+    def _nn(c):  # inapplicable stats -> NaN (pandas folds NULL doubles to NaN)
+        return F.coalesce(F.round(c, 6), F.lit(float("nan"))).alias(c)
+
+    return s.select(
+        "column",
+        "n_rows",
+        "null_count",
+        F.round("null_rate", 6).alias("null_rate"),
+        _nn("min_value"),
+        _nn("max_value"),
+        _nn("mean_value"),
+        _nn("avg_length"),
+    )
+
+
 def _q_lineitem_dup_keys(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return checks.duplicate_keys(li, ["l_orderkey"]).select(
@@ -232,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_violations": _q_doc_violations,
         "doc_null_counts": _q_doc_null_counts,
         "doc_col_stats": _q_doc_col_stats,
+        "doc_column_stats": _q_doc_column_stats,
         "lineitem_dup_keys": _q_lineitem_dup_keys,
         "uniqueness_summary": _q_uniqueness_summary,
         "ri_orphan_count": _q_ri_orphan_count,
@@ -351,6 +374,40 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang) AS n_lang,
                    count(DISTINCT source) AS n_source,
                    round(avg(length(text)), 4) AS text_avg_len
+            FROM documents
+        """,
+        "doc_column_stats": """
+            SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                   count(*) - count(doc_id) AS null_count,
+                   round((count(*) - count(doc_id)) / count(*)::DOUBLE, 6) AS null_rate,
+                   round(min(doc_id)::DOUBLE, 6) AS min_value,
+                   round(max(doc_id)::DOUBLE, 6) AS max_value,
+                   round(avg(doc_id::DOUBLE), 6) AS mean_value,
+                   'NaN'::DOUBLE AS avg_length
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   round((count(*) - count(n_chars)) / count(*)::DOUBLE, 6),
+                   round(min(n_chars)::DOUBLE, 6), round(max(n_chars)::DOUBLE, 6),
+                   round(avg(n_chars::DOUBLE), 6), 'NaN'::DOUBLE
+            FROM documents
+            UNION ALL
+            SELECT 'text', count(*), count(*) - count(text),
+                   round((count(*) - count(text)) / count(*)::DOUBLE, 6),
+                   coalesce(round(TRY_CAST(min(text) AS DOUBLE), 6), 'NaN'::DOUBLE), 'NaN'::DOUBLE,
+                   'NaN'::DOUBLE, round(avg(length(text)), 6)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   round((count(*) - count(lang)) / count(*)::DOUBLE, 6),
+                   coalesce(round(TRY_CAST(min(lang) AS DOUBLE), 6), 'NaN'::DOUBLE), 'NaN'::DOUBLE,
+                   'NaN'::DOUBLE, round(avg(length(lang)), 6)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   round((count(*) - count(source)) / count(*)::DOUBLE, 6),
+                   coalesce(round(TRY_CAST(min(source) AS DOUBLE), 6), 'NaN'::DOUBLE), 'NaN'::DOUBLE,
+                   'NaN'::DOUBLE, round(avg(length(source)), 6)
             FROM documents
         """,
         "lineitem_dup_keys": """

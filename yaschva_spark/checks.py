@@ -49,7 +49,9 @@ def column_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFra
             exprs.append(F.avg(F.col(c).cast("double")).alias(f"{c}__mean"))
             exprs.append(F.lit(None).cast("double").alias(f"{c}__avglen"))
         elif isinstance(dt, T.StringType):
-            exprs.append(F.min(c).cast("string").cast("double").alias(f"{c}__min"))
+            # try_cast: a lexicographic-min string is usually non-numeric and
+            # a plain cast would throw under ANSI mode
+            exprs.append(F.min(c).cast("string").try_cast("double").alias(f"{c}__min"))
             exprs.append(F.lit(None).cast("double").alias(f"{c}__max"))
             exprs.append(F.lit(None).cast("double").alias(f"{c}__mean"))
             exprs.append(F.avg(F.length(c)).alias(f"{c}__avglen"))
