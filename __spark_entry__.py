@@ -143,6 +143,20 @@ def _q_lang_chi2_drift(spark, sf_dir):
     return checks.drift_chi2(_t(spark, sf_dir, "documents"), "source", "lang")
 
 
+def _q_props_json_validation(spark, sf_dir):
+    # DYNAMIC path: the reference-faithful interpreter over a JSON column via
+    # Arrow-batched mapInPandas (yaschva_spark.engine.validate_json_table) —
+    # exact undefined/union semantics, driver-checked against a JSON oracle
+    from yaschva_spark.engine import validate_json_table
+
+    events = _t(spark, sf_dir, "events")
+    schema = {"k": {"$number": {"min": 0, "max": 50}}}
+    validated = validate_json_table(
+        events.select("event_id", "props"), schema, "props", keep_cols=["event_id"]
+    )
+    return explode_violations(validated, ["event_id"]).select("event_id", "path", "rule")
+
+
 # --- training-data ops queries ---------------------------------------------
 def _q_exact_dup_props(spark, sf_dir):
     from yaschva_spark.ops import dedup
@@ -263,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_regex_check": _q_source_regex_check,
         "value_range_check": _q_value_range_check,
         "lang_chi2_drift": _q_lang_chi2_drift,
+        "props_json_validation": _q_props_json_validation,  # dynamic mapInPandas path
         "exact_dup_props": _q_exact_dup_props,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_near_dup": _q_minhash_near_dup,
@@ -375,6 +390,11 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT source) AS n_source,
                    round(avg(length(text)), 4) AS text_avg_len
             FROM documents
+        """,
+        "props_json_validation": """
+            SELECT event_id, '$.k' AS path, 'num_above_max' AS rule
+            FROM events
+            WHERE json_extract(props, '$.k')::BIGINT > 50
         """,
         "doc_column_stats": """
             SELECT 'doc_id' AS "column", count(*) AS n_rows,
