@@ -92,22 +92,38 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 64
+    sh: DataFrame, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
-    """MinHash signature per document: for seed k, min over shingles of
-    xxhash64(shingle, k). Pure Catalyst (transform + array_min), one pass."""
-    def _hash_with_seed(k: int):
-        # factory keeps the lambda single-arg: a 2-arg lambda would make
-        # F.transform pass the array index as the second argument
-        return lambda s: F.xxhash64(s, F.lit(k))
+    """MinHash signature per document.
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingle_set"), _hash_with_seed(k)))
-            for k in range(num_hashes)
-        ]
+    Standard one-strong-hash construction: each shingle is hashed ONCE
+    JVM-side (xxhash64), then the ``num_hashes`` permutations are affine
+    mixes ``a_k * h + b_k`` (mod 2^64, seeded) minimized per document — a
+    numpy broadcast per Arrow batch. This replaces hashing every shingle
+    string ``num_hashes`` times (the naive form costs 64 interpreted
+    higher-order string hashes per document; the mix form is one [k, n]
+    integer outer product)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63 - 1, size=num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63 - 1, size=num_hashes, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(hv: pd.Series) -> pd.Series:
+        out = []
+        for row in hv:
+            h = np.asarray(row, dtype=np.int64).astype(np.uint64)
+            mixed = a[:, None] * h[None, :] + b[:, None]  # wraps mod 2^64
+            out.append(mixed.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    hashed = sh.select(
+        "id",
+        "shingle_set",
+        F.transform(F.col("shingle_set"), lambda s: F.xxhash64(s)).alias("hv"),
     )
-    return sh.select("id", "shingle_set", sig.alias("sig"))
+    return hashed.select("id", "shingle_set", sig_udf(F.col("hv")).alias("sig"))
 
 
 def minhash_lsh_pairs(
