@@ -188,40 +188,36 @@ def minhash_lsh_pairs(
 
 
 @F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """Vectorized 64-bit SimHash: per token a stable 64-bit hash votes +-1 on
-    each bit; the sign vector is the fingerprint. numpy over Arrow batches —
-    no per-row Python objects beyond the token split."""
+def _simhash_from_hashes(token_hashes: pd.Series) -> pd.Series:
+    """Bit-voting half of SimHash: given each document's token hashes
+    (computed JVM-side by xxhash64 — no Python string hashing), every hash
+    votes +-1 on each of 64 bits; the sign vector is the fingerprint.
+    Pure numpy bit arithmetic per Arrow batch."""
     import numpy as np
 
-    def h64(token: str) -> int:
-        # FNV-1a 64-bit — portable, stable, no deps
-        acc = 0xCBF29CE484222325
-        for ch in token.encode("utf-8"):
-            acc = ((acc ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return acc
-
-    out = np.zeros(len(texts), dtype=np.int64)
-    for idx, text in enumerate(texts):
-        if text is None:
-            continue
-        votes = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for tok in text.split(" "):
-            hv = np.uint64(h64(tok))  # plain Python ints >= 2^63 break ufuncs
-            bits = ((hv >> shifts) & np.uint64(1)).astype(np.int64)
-            votes += 2 * bits - 1
-        fp = 0
-        for bit_idx in range(64):
-            if votes[bit_idx] > 0:
-                fp |= 1 << bit_idx
-        out[idx] = fp - 0x8000000000000000  # to signed long
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.uint64)
+    out = np.zeros(len(token_hashes), dtype=np.int64)
+    for idx, row in enumerate(token_hashes):
+        if row is None or len(row) == 0:
+            continue  # all-zero fingerprint
+        h = np.asarray(row, dtype=np.int64).astype(np.uint64)  # [n]
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)  # [64]
+        fp = int((weights * (votes > 0)).sum(dtype=np.uint64))
+        out[idx] = fp - 2**64 if fp >= 2**63 else fp  # reinterpret as signed
     return pd.Series(out)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) — 64-bit fingerprints as signed longs."""
-    return df.select(F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("simhash"))
+    """(id, simhash) — 64-bit fingerprints as signed longs.
+
+    Token hashing runs JVM-side (split + xxhash64 under codegen); only the
+    64-bit voting crosses into the numpy kernel."""
+    hashes = F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col).alias("id"), _simhash_from_hashes(hashes).alias("simhash")
+    )
 
 
 def simhash_pairs(
