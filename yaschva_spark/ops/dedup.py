@@ -5,15 +5,17 @@
   an inverted shingle index (explode -> self-join on shingle -> count common)
   — no O(n^2) cross join; the join only materializes pairs that share at
   least one shingle.
-* :func:`minhash_lsh_pairs` — the 100 TB path: MinHash signatures
-  (xxhash64 per seed, array_min over shingles — pure Catalyst), banded LSH
-  bucketing to generate candidates, then **exact Jaccard verification** of
-  candidates, so the output is deterministic (equal to the exact operator
-  whenever LSH recall holds; band/row parameters are chosen for the
-  threshold).
-* :func:`simhash` / :func:`simhash_pairs` — 64-bit SimHash (vectorized
-  pandas UDF for the bit-voting, which Catalyst HOFs can't express cleanly),
-  banded by 16-bit chunks, Hamming-verified.
+* :func:`minhash_lsh_pairs` — the 100 TB path: MinHash signatures (one
+  JVM-side xxhash64 per shingle + seeded affine mixes minimized in a numpy
+  batch kernel), banded LSH bucketing over (id, band, bucket) only — the
+  payload never rides the candidate join — then **exact Jaccard
+  verification** of candidates, so the output is deterministic (equal to
+  the exact operator whenever LSH recall holds; band/row parameters are
+  chosen for the threshold). The shingle/signature table persists for the
+  operator's duration (it feeds bucketing and both verify sides).
+* :func:`simhash` / :func:`simhash_pairs` — 64-bit SimHash (token hashes
+  JVM-side, bit-voting in a numpy batch kernel), banded by 16-bit chunks,
+  Hamming-verified.
 
 All operators take (df, id_col, text_col) and tokenize identically
 (whitespace split), so Spark results are reproducible in ANSI SQL oracles.
@@ -87,7 +89,7 @@ def ngram_jaccard_pairs(
     """Exact near-duplicate pairs: word n-gram Jaccard >= threshold.
     Output (i, j, jaccard) with i < j. Exact but join-bound — use
     :func:`minhash_lsh_pairs` at scale."""
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).persist()  # feeds index + size branches
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 
@@ -143,11 +145,18 @@ def minhash_lsh_pairs(
     — shuffle is proportional to documents x bands, never O(n^2).
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(df, id_col, text_col, n)
-    sigs = minhash_signatures(sh, num_hashes)
+    # persist: the shingle construction (per-gram slice+concat over every
+    # document) feeds three plan branches (bucketing + both verify sides);
+    # without a persist each branch recomputes it. At cluster scale this is
+    # the standard LSH shape: materialize the shingle/signature table once,
+    # reuse it across bands and verification.
+    sigs = minhash_signatures(shingles(df, id_col, text_col, n), num_hashes).persist()
+    # candidate generation carries ONLY (id, band, bucket) — never the
+    # shingle payload: replicating each document's shingle set across all
+    # bands would multiply the join shuffle by bands x set-size (the
+    # dominant cost at any scale). Payloads rejoin once per *candidate*.
     buckets = sigs.select(
         "id",
-        "shingle_set",
         F.explode(
             F.array(
                 *[
@@ -161,7 +170,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "shingle_set", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -172,13 +181,13 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("i"),
-            F.col("b.id").alias("j"),
-            F.col("a.shingle_set").alias("set_i"),
-            F.col("b.shingle_set").alias("set_j"),
-        )
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
         .dropDuplicates(["i", "j"])
+    )
+    sets = sigs.select("id", "shingle_set")
+    cand = (
+        cand.join(sets.withColumnRenamed("id", "i").withColumnRenamed("shingle_set", "set_i"), "i")
+        .join(sets.withColumnRenamed("id", "j").withColumnRenamed("shingle_set", "set_j"), "j")
     )
     inter = F.size(F.array_intersect("set_i", "set_j"))
     union = F.size("set_i") + F.size("set_j") - inter
