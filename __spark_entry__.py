@@ -110,6 +110,16 @@ def _q_lineitem_dup_keys(spark, sf_dir):
     )
 
 
+def _q_lineitem_dup_keys_fp(spark, sf_dir):
+    # the fingerprint-shuffle scale path recovers EXACT duplicate keys
+    # (16-byte shuffle + broadcast-back verification) — same oracle as the
+    # plain hash-agg operator
+    li = _t(spark, sf_dir, "lineitem")
+    return checks.duplicate_keys_via_fingerprint(li, ["l_orderkey"]).select(
+        "l_orderkey", F.col("dup_count").alias("n")
+    )
+
+
 def _q_uniqueness_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return checks.uniqueness_summary(li, ["l_orderkey", "l_linenumber"], salt_buckets=8)
@@ -270,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_col_stats": _q_doc_col_stats,
         "doc_column_stats": _q_doc_column_stats,
         "lineitem_dup_keys": _q_lineitem_dup_keys,
+        "lineitem_dup_keys_fp": _q_lineitem_dup_keys_fp,
         "uniqueness_summary": _q_uniqueness_summary,
         "ri_orphan_count": _q_ri_orphan_count,
         "doc_length_histogram": _q_doc_length_histogram,
@@ -431,6 +442,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lineitem_dup_keys": """
+            SELECT l_orderkey, count(*) AS n
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "lineitem_dup_keys_fp": """
             SELECT l_orderkey, count(*) AS n
             FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
         """,
