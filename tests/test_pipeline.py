@@ -104,3 +104,17 @@ def test_pipeline_run_and_resume(spark, code, tmp_path):
     manifest = spark.read.parquet(f"{out1}/manifest")
     assert manifest.count() == 8
     assert {"bucket", "n_rows", "n_violations", "content_digest"} <= set(manifest.columns)
+
+
+def test_violations_sink_partition_pruning(spark, code, tmp_path):
+    """The bucket-partitioned violations sink must prune at the reader —
+    a bucket filter becomes a PartitionFilter, not a post-scan Filter."""
+    repos = repos_dim(spark)
+    out = str(tmp_path / "prune")
+    run_validation_job(spark, code, repos, out, n_buckets=8)
+    viol = spark.read.parquet(f"{out}/violations").filter(F.col("bucket") == 3)
+    plan = viol._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan, plan[:800]
+    assert viol.count() > 0
+    # pruned read sees exactly the one bucket
+    assert viol.select("bucket").distinct().collect()[0][0] == 3
