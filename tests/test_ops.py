@@ -209,3 +209,17 @@ def test_ann_ivf_deterministic(emb):
 def test_simhash_pairs_query_shape(docs):
     pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
     assert all(p["i"] < p["j"] and p["hamming"] <= 3 for p in pairs)
+
+
+def test_multimodal_resize_plan(spark):
+    assets = mm.synthetic_assets(spark, 50)
+    plan = mm.resize_plan(assets, target_w=128, target_h=96)
+    rows = plan.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert abs(r["scale_x"] - 128 / r["width"]) < 1e-9
+        assert abs(r["scale_y"] - 96 / r["height"]) < 1e-9
+        assert len(r["resized_digest"]) == 64
+    # deterministic
+    again = {r["asset_id"]: r["resized_digest"] for r in plan.collect()}
+    assert all(again[r["asset_id"]] == r["resized_digest"] for r in rows)

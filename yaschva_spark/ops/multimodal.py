@@ -119,3 +119,34 @@ def frame_sample_plan(assets: DataFrame, every_nth: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+def resize_plan(
+    assets: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    use_stub: bool = True,
+) -> DataFrame:
+    """Resize stage: (asset_id, kind, width, height, target_w, target_h,
+    scale_x, scale_y, resized_digest).
+
+    The geometry (scale factors, letterboxing decisions) is computed from
+    the extracted features as plain Catalyst expressions; only the pixel
+    work would live in the pandas stage, and it is STUBBED here (a
+    deterministic digest of (payload digest, target dims) stands in for the
+    resized bytes — plug a PIL/opencv kernel into ``decode_real`` for the
+    real path). Partitioning and schema shape are production-real."""
+    feats = decode_features(assets, use_stub=use_stub)
+    return feats.select(
+        "asset_id",
+        "kind",
+        "width",
+        "height",
+        F.lit(target_w).alias("target_w"),
+        F.lit(target_h).alias("target_h"),
+        (F.lit(target_w) / F.col("width")).alias("scale_x"),
+        (F.lit(target_h) / F.col("height")).alias("scale_y"),
+        F.sha2(
+            F.concat_ws(":", F.col("digest"), F.lit(target_w), F.lit(target_h)), 256
+        ).alias("resized_digest"),
+    )
