@@ -236,7 +236,15 @@ def embedding_near_dup_lsh(
     """Near-dup scale path: multi-table hyperplane-LSH self-join produces
     candidate pairs (shuffle ∝ corpus x n_tables, never O(n^2)); every
     candidate is exactly cosine-verified, so precision is 1.0 and only
-    recall is approximate (≈ 1-(1-p)^L, p = (1-θ/π)^n_planes)."""
+    recall is approximate (≈ 1-(1-p)^L, p = (1-θ/π)^n_planes).
+
+    Parameter note: the defaults target recall ≈ 0.9 at threshold 0.4. Low
+    thresholds (far pairs) are hyperplane-LSH's weak spot — 4 planes give
+    only 16 buckets/table, so at corpus sizes where n/16 pairs-per-bucket
+    approaches n^2/2 the candidate set degenerates toward exhaustive and
+    the exact operator wins. The crossover favors LSH when the threshold is
+    high (true near-dup, >= 0.8: raise n_planes, fewer tables) or the
+    corpus is large relative to 2^n_planes buckets."""
     tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     bucketer = _bucket_udf(tables)
     bucketed = df.select(
