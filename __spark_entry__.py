@@ -451,7 +451,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "uniqueness_summary": """
             SELECT count(*) AS n_dup_keys,
-                   coalesce(sum(n), 0) AS n_dup_rows
+                   coalesce(sum(n), 0)::BIGINT AS n_dup_rows
             FROM (
               SELECT l_orderkey, l_linenumber, count(*) AS n
               FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
@@ -472,23 +472,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "event_type_enum_check": f"""
-            SELECT sum(CASE WHEN event_type IN ({_EVENT_LIST}) THEN 1 ELSE 0 END) AS n_ok,
+            SELECT sum(CASE WHEN event_type IN ({_EVENT_LIST}) THEN 1 ELSE 0 END)::BIGINT AS n_ok,
                    sum(CASE WHEN event_type IS NULL
-                             OR event_type NOT IN ({_EVENT_LIST}) THEN 1 ELSE 0 END) AS n_violating
+                             OR event_type NOT IN ({_EVENT_LIST}) THEN 1 ELSE 0 END)::BIGINT AS n_violating
             FROM events
         """,
         "source_regex_check": """
-            SELECT sum(CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS n_match,
+            SELECT sum(CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END)::BIGINT AS n_match,
                    sum(CASE WHEN source IS NULL
-                             OR NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS n_miss
+                             OR NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END)::BIGINT AS n_miss
             FROM documents
         """,
         "value_range_check": """
-            SELECT sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
-                   sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS n_below,
-                   sum(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) AS n_above,
+            SELECT sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                   sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_below,
+                   sum(CASE WHEN value > 400.0 THEN 1 ELSE 0 END)::BIGINT AS n_above,
                    sum(CASE WHEN value IS NOT NULL AND value >= 0.0 AND value <= 400.0
-                            THEN 1 ELSE 0 END) AS n_ok
+                            THEN 1 ELSE 0 END)::BIGINT AS n_ok
             FROM events
         """,
         "lang_chi2_drift": """
@@ -582,7 +582,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id AS id,
-                   SUM(i * length(w)) % 1000000007 AS fingerprint
+                   (SUM(i * length(w)) % 1000000007)::BIGINT AS fingerprint
             FROM (SELECT doc_id,
                          unnest(string_split(text, ' ')) AS w,
                          generate_subscripts(string_split(text, ' '), 1) AS i

@@ -28,19 +28,25 @@ def ddb():
 
 
 def _normalize(rows, columns):
+    """Dtype-strict normalization: floats and ints are kept distinct (tagged
+    by kind) so a DuckDB HUGEINT->float64 leak (13623.0 vs Spark's 13623)
+    fails HERE, like the driver's value hash, not only in CORRECTNESS_rN."""
+    import numpy as np
+
     out = []
     for row in rows:
         vals = []
         for c in columns:
             v = row[c] if not isinstance(row, tuple) else row[columns.index(c)]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-            if isinstance(v, int):
-                v = int(v)
-            vals.append(v)
+            if isinstance(v, (bool, np.bool_)):
+                vals.append(("b", bool(v)))
+            elif isinstance(v, (float, np.floating)):
+                fv = float(v)
+                vals.append(("f", "NaN" if math.isnan(fv) else round(fv, 6)))
+            elif isinstance(v, (int, np.integer)):
+                vals.append(("i", int(v)))
+            else:
+                vals.append(("o", v))
         out.append(tuple(vals))
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
