@@ -173,9 +173,7 @@ def _q_exact_dup_props(spark, sf_dir):
 
     events = _t(spark, sf_dir, "events")
     groups = dedup.exact_duplicates(events, "event_id", "props")
-    return groups.select(
-        "content_hash", "n", F.array_min("ids").alias("min_id")
-    )
+    return groups.select("content_hash", "n", "min_id")
 
 
 def _q_ngram_jaccard_pairs(spark, sf_dir):

@@ -48,13 +48,19 @@ def main() -> None:
     # 1) driver-contract queries at the benchmark scale factor.
     # BASELINE.md protocol: exclude JIT/codegen warmup — one warmup run,
     # then the median of 3 timed runs.
+    from yaschva_spark.cache import unpersist_intermediates
+
     def _timed(fn, reps=3):
         fn()  # warmup (JIT + page cache)
+        unpersist_intermediates()
         times = []
         for _ in range(reps):
             t0 = time.monotonic()
             fn()
             times.append(time.monotonic() - t0)
+            # each rep builds (and pays for) its own operator-internal
+            # persist; release it so reps don't accumulate pinned copies
+            unpersist_intermediates()
         return round(sorted(times)[reps // 2], 4)
 
     for name, fn in entrymod.queries().items():

@@ -223,3 +223,46 @@ def test_multimodal_resize_plan(spark):
     # deterministic
     again = {r["asset_id"]: r["resized_digest"] for r in plan.collect()}
     assert all(again[r["asset_id"]] == r["resized_digest"] for r in rows)
+
+
+def test_exact_duplicates_bounded_sample(spark):
+    # one mega-group: n/min_id exact, ids bounded by sample_ids (the guard
+    # against a pathological group blowing an aggregation buffer)
+    df = spark.createDataFrame(
+        [(i, "same text") for i in range(50)] + [(99, "unique")], "id long, t string"
+    )
+    got = dedup.exact_duplicates(df, "id", "t", sample_ids=10).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == 50 and r["min_id"] == 0
+    assert r["ids"] == list(range(10))  # first sample_ids ascending
+
+
+def test_jaccard_max_df_hot_shingle(spark):
+    # 'the common filler phrase' appears in every doc; with max_df it cannot
+    # generate candidates, but the true near-dup pair (share most grams) is
+    # still found with its EXACT jaccard (verification on full sets)
+    hot = "zz yy xx"
+    rows = [(i, f"{hot} unique{i} a{i} b{i} c{i}") for i in range(20)]
+    rows += [(100, f"{hot} alpha beta gamma delta"), (101, f"{hot} alpha beta gamma epsilon")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    exact = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "id", "t", n=2, threshold=0.4).collect()
+    }
+    capped = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "id", "t", n=2, threshold=0.4, max_df=5).collect()
+    }
+    assert (100, 101) in capped
+    assert capped[(100, 101)] == pytest.approx(exact[(100, 101)])  # exact value kept
+    # pairs that only shared the hot shingles are below threshold anyway
+    assert set(capped) == set(exact)
+
+
+def test_ann_ivf_small_corpus_clamps_k(emb):
+    # corpus smaller than n_lists must degrade (fewer lists), not IndexError
+    small = emb.filter(F.col("vec_id") < 5)
+    queries = small.filter(F.col("vec_id") < 2)
+    got = similarity.ann_ivf_topk(small, queries, k=2, n_lists=16, nprobe=8).collect()
+    assert len(got) > 0

@@ -174,23 +174,52 @@ def uniqueness_summary(df: DataFrame, keys: Sequence[str], salt_buckets: int = 0
     )
 
 
+def _key_fingerprint(keys: Sequence[str], seed: int):
+    """One 64-bit fingerprint of a key tuple, safe for pairing.
+
+    Two pitfalls this encodes (both were real bugs):
+
+    * The seed goes at the FRONT. Spark chains ``xxhash64`` children
+      left-to-right, so ``xxhash64(*cols, lit(s))`` is a function of the
+      single prefix state ``xxhash64(*cols)`` — two trailing-seed variants
+      collide *together* whenever the prefix state collides, making a
+      "128-bit" pair effectively 64-bit (~n^2/2^65, tens of thousands of
+      false dup keys at 10^12 rows). Leading seeds give the two chains
+      different states from the first byte onward, so the pair behaves as
+      two independent hashes.
+    * ``xxhash64`` skips NULL children, so ('a', NULL, 'x') and
+      ('a', 'x', NULL) hash identically at ANY scale. Each column is
+      therefore paired with its ``isnull`` flag (an int, never NULL),
+      which disambiguates the position of every NULL.
+    """
+    children = [F.lit(seed)]
+    for k in keys:
+        children.append(F.col(k))
+        children.append(F.col(k).isNull().cast("int"))
+    return F.xxhash64(*children)
+
+
 def duplicate_key_fingerprints(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Shuffle-light duplicate detection: group by a 128-bit key fingerprint
-    (two independent xxhash64 seeds) instead of the key columns themselves.
+    (two front-seeded xxhash64 values, see :func:`_key_fingerprint`) instead
+    of the key columns themselves.
 
     The shuffle carries 16 bytes per row instead of the full key tuple —
     on wide string keys like (repo, path, commit) that is a ~5x byte
     reduction, which is what matters at 10^12 rows where the uniqueness
     shuffle is the job's largest exchange. Collision probability for the
-    128-bit pair is ~n^2/2^129 (~10^-15 even at 10^12 keys).
+    front-seeded pair is ~n^2/2^129 under the standard independence
+    assumption for distinct-seed xxhash64 chains (~10^-15 at 10^12 keys);
+    where exact counts are the contract, use
+    :func:`duplicate_keys_via_fingerprint`, whose key-verification rejoin
+    removes even those.
 
     Output: (fp1, fp2, dup_count) with dup_count > 1. To recover the actual
     key values, semi-join this (tiny) result back to the table on the same
     fingerprint expressions — see :func:`duplicate_keys_via_fingerprint`.
     """
-    cols = [F.col(k) for k in keys]
-    fp1 = F.xxhash64(*cols, F.lit(1))
-    fp2 = F.xxhash64(*cols, F.lit(2))
+    fp1 = _key_fingerprint(keys, 1)
+    fp2 = _key_fingerprint(keys, 2)
     return (
         df.select(fp1.alias("fp1"), fp2.alias("fp2"))
         .groupBy("fp1", "fp2")
@@ -205,12 +234,11 @@ def duplicate_keys_via_fingerprint(df: DataFrame, keys: Sequence[str]) -> DataFr
     back onto the table and re-count by the REAL key columns — any hash
     collision is eliminated by the verification count, so the output is
     exactly :func:`duplicate_keys` with a fraction of the shuffle."""
-    cols = [F.col(k) for k in keys]
     fps = duplicate_key_fingerprints(df, keys).select("fp1", "fp2")
     candidates = df.join(
         F.broadcast(fps),
-        (F.xxhash64(*cols, F.lit(1)) == F.col("fp1"))
-        & (F.xxhash64(*cols, F.lit(2)) == F.col("fp2")),
+        (_key_fingerprint(keys, 1) == F.col("fp1"))
+        & (_key_fingerprint(keys, 2) == F.col("fp2")),
     )
     return (
         candidates.groupBy(*keys)
@@ -247,20 +275,34 @@ def drift_chi2(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
     chi2_g = sum_c (o_gc - e_gc)^2 / e_gc,  e_gc = n_g * (n_c / n).
     Categories a group lacks still contribute e_gc (o=0).
     """
+    # ONE scan of the fact table: the contingency table `obs` (|groups| x
+    # |cats| rows — tiny by construction for a categorical drift check)
+    # carries everything else. Category totals, group totals, and the grand
+    # total are window sums OVER OBS, not extra aggregations of df; missing
+    # cells (a group lacking a category) are folded in algebraically:
+    #   sum_all e_gc = n_g              (since sum_c n_c = n)
+    #   chi2_g = sum_present (o-e)^2/e + sum_absent e
+    #          = sum_present [(o-e)^2/e - e] + n_g
+    # The unpartitioned window for the grand total funnels only obs (not df)
+    # through one partition — bounded by the category cross product.
     obs = df.groupBy(group_col, cat_col).agg(F.count(F.lit(1)).alias("o"))
-    cat_totals = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("n_c"))
-    grp_totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
-    n = df.count()
-    # dense grid group x category so missing cells contribute (0-e)^2/e
-    grid = grp_totals.crossJoin(F.broadcast(cat_totals))
-    joined = grid.join(obs, [group_col, cat_col], "left").fillna({"o": 0})
-    cell = ((F.col("o") - F.col("n_g") * F.col("n_c") / n) ** 2) / (
-        F.col("n_g") * F.col("n_c") / n
+    enriched = obs.select(
+        group_col,
+        cat_col,
+        "o",
+        F.sum("o").over(Window.partitionBy(cat_col)).alias("n_c"),
+        F.sum("o").over(Window.partitionBy(group_col)).alias("n_g"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
     )
+    e = F.col("n_g") * F.col("n_c") / F.col("n")
+    term = (F.col("o") - e) ** 2 / e - e
     return (
-        joined.groupBy(group_col)
-        .agg(F.sum(cell).alias("chi2"), F.first("n_g").alias("n_rows"))
-        .select(group_col, "n_rows", F.round("chi2", 6).alias("chi2"))
+        enriched.groupBy(group_col)
+        .agg(
+            F.max("n_g").alias("n_rows"),
+            F.round(F.sum(term) + F.max("n_g"), 6).alias("chi2"),
+        )
+        .select(group_col, "n_rows", "chi2")
     )
 
 

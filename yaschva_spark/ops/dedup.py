@@ -24,19 +24,44 @@ All operators take (df, id_col, text_col) and tokenize identically
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from yaschva_spark.cache import persist_tracked
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Groups of byte-identical texts: (content_hash, n, ids)."""
-    hashed = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
-    return (
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, sample_ids: int = 100
+) -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, n, min_id, ids).
+
+    ``n`` and ``min_id`` are exact; ``ids`` is a BOUNDED sample (the first
+    ``sample_ids`` ids ascending). An unbounded ``collect_list`` makes one
+    pathological group — e.g. billions of empty files sharing a hash — blow
+    up a single aggregation buffer. Plan: a count-only groupBy first
+    (map-side combinable, constant state per key), then the sample is
+    re-derived ONLY for duplicate hashes via a row_number window capped at
+    ``sample_ids``, so per-group state is bounded everywhere. The window
+    shuffle touches just the duplicate subset, not the table.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("content_hash")
+    )
+    groups = (
         hashed.groupBy("content_hash")
-        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("min_id"))
         .filter(F.col("n") > 1)
     )
+    w = Window.partitionBy("content_hash").orderBy("id")
+    sample = (
+        hashed.join(groups.select("content_hash"), "content_hash")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= sample_ids)
+        .groupBy("content_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
+    return groups.join(sample, "content_hash").select("content_hash", "n", "min_id", "ids")
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -57,11 +82,48 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     ).filter(F.size("shingle_set") > 0)
 
 
-def _pair_jaccard(sh: DataFrame) -> DataFrame:
-    """Inverted-index exact Jaccard: pairs sharing >= 1 shingle, with their
-    Jaccard similarity. Input: (id, shingle_set)."""
+def _pair_jaccard(sh: DataFrame, max_df: int | None = None) -> DataFrame:
+    """Inverted-index Jaccard: pairs sharing >= 1 (eligible) shingle, with
+    their EXACT Jaccard similarity. Input: (id, shingle_set).
+
+    ``max_df`` is the scale guard: the self-join on ``shingle`` produces
+    ~df^2/2 candidate rows per shingle, so ONE ubiquitous shingle (df = n)
+    quadratically inflates the join. With ``max_df`` set, shingles whose
+    document frequency exceeds it are excluded from *candidate generation*
+    (hot-shingle set is tiny -> broadcast anti-join), and every surviving
+    pair is verified on the FULL shingle sets, so emitted Jaccard values
+    stay exact. The only approximation: a pair sharing *nothing but*
+    hot shingles is missed — for near-dup thresholds that pair is far
+    below threshold anyway (its common shingles are in >max_df docs).
+    ``max_df=None`` (default) is the fully exact oracle path.
+    """
     sizes = sh.select("id", F.size("shingle_set").alias("sz"))
     inv = sh.select("id", F.explode("shingle_set").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+        a = inv.alias("a")
+        b = inv.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+            .dropDuplicates(["i", "j"])
+        )
+        sets = sh.select("id", "shingle_set")
+        cand = cand.join(
+            sets.withColumnRenamed("id", "i").withColumnRenamed("shingle_set", "set_i"), "i"
+        ).join(sets.withColumnRenamed("id", "j").withColumnRenamed("shingle_set", "set_j"), "j")
+        inter = F.size(F.array_intersect("set_i", "set_j"))
+        union = F.size("set_i") + F.size("set_j") - inter
+        return cand.select("i", "j", (inter / union).alias("jaccard"))
     a = inv.alias("a")
     b = inv.alias("b")
     common = (
@@ -84,13 +146,22 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact near-duplicate pairs: word n-gram Jaccard >= threshold.
     Output (i, j, jaccard) with i < j. Exact but join-bound — use
-    :func:`minhash_lsh_pairs` at scale."""
-    sh = shingles(df, id_col, text_col, n).persist()  # feeds index + size branches
-    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+    :func:`minhash_lsh_pairs` at scale, or set ``max_df`` to cap the
+    quadratic hot-shingle candidate blowup (see :func:`_pair_jaccard`)."""
+    # feeds index + size branches; registered so callers can release it via
+    # cache.unpersist_intermediates() after their action (the returned df is
+    # lazy, so the operator itself can never unpersist)
+    sh = persist_tracked(shingles(df, id_col, text_col, n))
+    return _pair_jaccard(sh, max_df=max_df).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_signatures(
@@ -149,8 +220,9 @@ def minhash_lsh_pairs(
     # document) feeds three plan branches (bucketing + both verify sides);
     # without a persist each branch recomputes it. At cluster scale this is
     # the standard LSH shape: materialize the shingle/signature table once,
-    # reuse it across bands and verification.
-    sigs = minhash_signatures(shingles(df, id_col, text_col, n), num_hashes).persist()
+    # reuse it across bands and verification. Registered so callers can
+    # release it (cache.unpersist_intermediates) once their action is done.
+    sigs = persist_tracked(minhash_signatures(shingles(df, id_col, text_col, n), num_hashes))
     # candidate generation carries ONLY (id, band, bucket) — never the
     # shingle payload: replicating each document's shingle set across all
     # bands would multiply the join shuffle by bands x set-size (the

@@ -290,7 +290,13 @@ def _kmeans_centroids(
         .limit(k)
         .collect()
     )
+    if not init:
+        raise ValueError("k-means init: corpus is empty")
+    # corpora smaller than k yield fewer init rows — clamp k instead of
+    # indexing past the collected centroids (small/filtered corpora degrade
+    # to fewer lists rather than crashing)
     centroids = [list(r["v"]) for r in init]
+    k = len(centroids)
     for _ in range(iters):
         assigned = corpus.select(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -335,6 +341,7 @@ def ann_ivf_topk(
     Query fan-out is |queries| x nprobe broadcast rows; recall is governed
     by nprobe/n_lists."""
     centroids = _kmeans_centroids(corpus, vec_col, n_lists, kmeans_iters, seed, dim)
+    nprobe = min(nprobe, len(centroids))  # k was clamped for small corpora
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),

@@ -121,15 +121,19 @@ def run_validation_job(
         "field_path", "rule", "error", "value",
     )
 
-    # 2) uniqueness on (repo, path, commit): fingerprint-shuffle hash agg —
-    # the triple is near-unique, so the groupBy shuffle carries ~every row;
-    # shuffling the 128-bit key fingerprint instead of three strings cuts
-    # the job's largest exchange ~5x in bytes (checks.duplicate_key_
-    # fingerprints; collision odds ~2^-129 * n^2). Spark's partial agg
+    # 2) uniqueness on (repo, path, commit): fingerprint-shuffle detection +
+    # key-verification rejoin — the triple is near-unique, so the groupBy
+    # shuffle carries ~every row; shuffling the 128-bit front-seeded key
+    # fingerprint instead of three strings cuts the job's largest exchange
+    # ~5x in bytes (checks._key_fingerprint explains the seeding + NULL-flag
+    # construction). The broadcast rejoin re-counts the candidate keys by
+    # their REAL values, so n_dup_keys/n_dup_rows are EXACT — fingerprint
+    # collisions only cost a few extra verified candidates, never a wrong
+    # count (exact counts are this job's contract). Spark's partial agg
     # already collapses hot keys map-side, so no salting is needed for
     # counting (salt_buckets remains available via checks.duplicate_keys
     # for aggs without map-side combine).
-    dup_summary_df = checks.duplicate_key_fingerprints(
+    dup_summary_df = checks.duplicate_keys_via_fingerprint(
         validated.select("repo", "path", "commit"), ["repo", "path", "commit"]
     ).agg(
         F.count(F.lit(1)).alias("n_dup_keys"),
@@ -165,13 +169,18 @@ def run_validation_job(
         )
     )
 
-    # The three actions are independent — submit them CONCURRENTLY from
-    # driver threads (one SparkContext schedules all three job DAGs at
-    # once). Stage tails and per-job driver gaps overlap with the other
-    # jobs' compute instead of idling the executors; on a cluster this is
-    # the standard multi-action driver pattern. Results are identical to
-    # serial execution (independent sinks/aggregates over the same
-    # immutable input).
+    # Concurrency with one durability constraint: the dup summary and the
+    # violations write are independent and run CONCURRENTLY from driver
+    # threads (one SparkContext schedules both job DAGs at once; stage
+    # tails overlap instead of idling executors). The MANIFEST write,
+    # however, is the resume marker — a bucket recorded there is never
+    # reprocessed — so it must become durable only AFTER that bucket's
+    # violations are durable. It is therefore submitted from the violations
+    # future's completion (still overlapping the dup job), never
+    # concurrently with the violations write: if the driver dies mid-run,
+    # worst case is violations written for buckets not yet in the manifest,
+    # which resume handles (overwrite-by-append of the same rows is the
+    # only residual duplicate risk, documented at the sink).
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = {}
         if write_violations:
@@ -182,25 +191,25 @@ def run_validation_job(
                 .parquet(violations_path)
             )
         futs["dup"] = pool.submit(lambda: dup_summary_df.collect()[0])
-        futs["manifest"] = pool.submit(
-            lambda: manifest.write.mode("append").parquet(manifest_path)
-        )
-        dup_summary = futs["dup"].result()
         if "viol" in futs:
-            futs["viol"].result()
-        futs["manifest"].result()
+            futs["viol"].result()  # durability barrier: violations first
+        manifest.write.mode("append").parquet(manifest_path)
+        dup_summary = futs["dup"].result()
 
-    totals = (
-        spark.read.parquet(manifest_path)
-        .agg(
-            F.sum("n_rows").alias("r"),
-            F.sum("n_invalid_rows").alias("i"),
-            F.sum("n_violations").alias("v"),
-            F.sum("n_orphans").alias("o"),
-            F.count(F.lit(1)).alias("b"),
-        )
-        .collect()[0]
-    )
+    # mergeSchema: a resumed out_dir may hold manifest files written before a
+    # column existed (e.g. n_orphans); without it Spark infers the schema from
+    # ONE footer, so the sum either throws UNRESOLVED_COLUMN or silently drops
+    # files. Coalesce keeps totals correct when old files read NULL.
+    mread = spark.read.option("mergeSchema", "true").parquet(manifest_path)
+    if "n_orphans" not in mread.columns:  # every file predates the column
+        mread = mread.withColumn("n_orphans", F.lit(0).cast("long"))
+    totals = mread.agg(
+        F.sum("n_rows").alias("r"),
+        F.sum("n_invalid_rows").alias("i"),
+        F.sum("n_violations").alias("v"),
+        F.coalesce(F.sum("n_orphans"), F.lit(0)).alias("o"),
+        F.count(F.lit(1)).alias("b"),
+    ).collect()[0]
     return JobResult(
         n_buckets_processed=len(pend),
         n_rows=totals["r"],
