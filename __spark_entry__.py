@@ -294,7 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (approximate by design)
         "ann_ivf_topk": _q_ann_ivf_topk,  # rows-only (approximate by design)
         "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,  # rows-only (recall < 1)
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "token_counts": _q_token_counts,
         "simhash_pairs": _q_simhash_pairs,  # rows-only (FNV hash not in SQL)
         "text_profile": _q_text_profile,
@@ -344,6 +344,14 @@ _DOC_VIOLATION_SQL = f"""
 
 # word-3gram Jaccard pairs in DuckDB SQL (oracle for exact AND for
 # MinHash-LSH+verify, whose verified output equals the exact result)
+_NEAR_DUP_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
 _JACCARD_SQL = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS (SELECT doc_id,
@@ -512,13 +520,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "minhash_near_dup": _JACCARD_SQL,
-        "embedding_near_dup": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-            SELECT a.vec_id AS i, b.vec_id AS j,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS sim
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
-        """,
+        "embedding_near_dup": _NEAR_DUP_SQL,
+        # the LSH operator's planner (ops.similarity.lsh_near_dup_params)
+        # selects the exhaustive GEMM plan at threshold 0.4 — LSH cannot
+        # beat it there — so its output is exact and shares the oracle
+        "embedding_near_dup_lsh": _NEAR_DUP_SQL,
         "token_counts": r"""
             SELECT doc_id AS id,
                    len(string_split(text, ' ')) AS n_tokens,

@@ -266,3 +266,63 @@ def test_ann_ivf_small_corpus_clamps_k(emb):
     queries = small.filter(F.col("vec_id") < 2)
     got = similarity.ann_ivf_topk(small, queries, k=2, n_lists=16, nprobe=8).collect()
     assert len(got) > 0
+
+
+def test_lsh_planner_regimes():
+    # low threshold + GEMM-able corpus: planner must refuse LSH (the 0.63 vs
+    # 0.50 per-plane gap can't pay for banding when a blocked GEMM exists)
+    plan, _, _ = similarity.lsh_near_dup_params(0.4, 2000)
+    assert plan == "exhaustive"
+    # high threshold, corpus beyond the broadcast bound: LSH wins
+    plan, p, t = similarity.lsh_near_dup_params(0.85, 10_000_000)
+    assert plan == "lsh" and p >= 6 and t >= 2
+    # recall bound really holds at the threshold for the chosen params
+    import math
+
+    p1 = (1 - math.acos(0.85) / math.pi) ** p
+    assert 1 - (1 - p1) ** t >= 0.95
+
+
+def test_lsh_near_dup_auto_delegates_exact(emb):
+    # at threshold 0.4 the planner delegates -> output EQUALS the exact op
+    exact = {
+        (r["i"], r["j"], r["sim"])
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    auto = {
+        (r["i"], r["j"], r["sim"])
+        for r in similarity.embedding_near_dup_lsh(emb, threshold=0.4).collect()
+    }
+    assert auto == exact
+
+
+def test_lsh_near_dup_forced_banding_recall(spark):
+    # planted near-dups at cosine ~0.9 over random background; force the
+    # banded plan with planner-chosen params and measure recall/precision
+    import math
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(100, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i < 30:  # planted near-dup: small perturbation -> cosine ~0.97
+            rows.append((1000 + i, [float(x) for x in v + rng.normal(scale=0.12, size=64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    threshold = 0.85
+    # params as the planner would pick for a beyond-GEMM corpus
+    _, p, t = similarity.lsh_near_dup_params(threshold, 10_000_000)
+    exact = {
+        (r["i"], r["j"])
+        for r in similarity.embedding_near_dup_pairs(df, threshold=threshold).collect()
+    }
+    got = {
+        (r["i"], r["j"])
+        for r in similarity.embedding_near_dup_lsh(
+            df, threshold=threshold, n_planes=p, n_tables=t
+        ).collect()
+    }
+    assert got <= exact  # exact verification -> precision 1.0
+    assert len(exact) >= 25
+    assert len(got) / len(exact) >= 0.95  # the tuner's recall target
