@@ -222,12 +222,26 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     return similarity.embedding_near_dup_lsh(emb, threshold=0.4)
 
 
+def _ivf_centroids(sf_dir: str, n_lists: int = 16, iters: int = 3):
+    """Deterministic driver-side quantizer shared by the Spark query AND the
+    DuckDB oracle (identical float64 centroids on both sides). At cluster
+    scale the quantizer comes from the in-Spark k-means instead; this is
+    the oracle-determinism variant (similarity.kmeans_centroids_local)."""
+    import pandas as pd
+
+    from yaschva_spark.ops import similarity
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    M = [list(v) for v in pdf["embedding"]]
+    return similarity.kmeans_centroids_local(M, n_lists, iters)
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     from yaschva_spark.ops import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
-    return similarity.ann_ivf_topk(emb, queries_df, k=3)
+    return similarity.ann_ivf_topk(emb, queries_df, k=3, centroids=_ivf_centroids(sf_dir))
 
 
 def _q_token_counts(spark, sf_dir):
@@ -267,7 +281,10 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_ks_drift(spark, sf_dir):
-    return checks.drift_ks(_t(spark, sf_dir, "documents"), "lang", "n_chars")
+    # exact_grid makes the statistic a closed form over the data, so the
+    # DuckDB oracle (quantile_cont + grid counts) reproduces it exactly
+    ks = checks.drift_ks(_t(spark, sf_dir, "documents"), "lang", "n_chars", exact_grid=True)
+    return ks.select("lang", "n_rows", F.round("ks_stat", 6).alias("ks_stat"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -291,17 +308,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_near_dup": _q_minhash_near_dup,
         "cosine_topk": _q_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,  # rows-only (approximate by design)
-        "ann_ivf_topk": _q_ann_ivf_topk,  # rows-only (approximate by design)
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "token_counts": _q_token_counts,
-        "simhash_pairs": _q_simhash_pairs,  # rows-only (FNV hash not in SQL)
+        "simhash_pairs": _q_simhash_pairs,
         "text_profile": _q_text_profile,
         "lang_id_heuristic": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
-        "simhash_fingerprints": _q_simhash,  # rows-only (FNV hash not in SQL)
-        "ks_drift_by_lang": _q_ks_drift,  # rows-only (applyInPandas stat)
+        "simhash_fingerprints": _q_simhash,
+        "ks_drift_by_lang": _q_ks_drift,
     }
 
 
@@ -365,6 +382,186 @@ _JACCARD_SQL = """
     SELECT i, j, round(common / (si + sj - common), 6) AS jaccard
     FROM p WHERE common / (si + sj - common) >= 0.5
 """
+
+def _ann_lsh_sql(k: int = 3, n_planes: int = 4, n_tables: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB replication of the FULL ann_lsh_topk algorithm: the seeded
+    hyperplanes are embedded as literals (repr() round-trips doubles
+    exactly), buckets are per-table sign-bit sums via list_dot_product,
+    then candidate join + exact cosine re-rank — a true green oracle for an
+    'approximate' operator, because the approximation is deterministic."""
+    from yaschva_spark.ops.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for p_idx, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t)):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            rows.append(f"({t}, {p_idx}, {lit})")
+    values = ",\n          ".join(rows)
+    return f"""
+        WITH planes(table_id, plane_idx, p) AS (VALUES
+          {values}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (
+          SELECT e.vec_id, pl.table_id,
+                 sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                          THEN (1::BIGINT << pl.plane_idx) ELSE 0 END)::BIGINT AS bucket
+          FROM e CROSS JOIN planes pl
+          GROUP BY e.vec_id, pl.table_id
+        ),
+        q AS (SELECT * FROM b WHERE vec_id < 20),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM b c JOIN q ON c.table_id = q.table_id AND c.bucket = q.bucket
+          WHERE c.vec_id != q.vec_id
+        ),
+        s AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 list_cosine_similarity(eq.v, ec.v) AS sim
+          FROM cand
+          JOIN e eq ON eq.vec_id = cand.query_id
+          JOIN e ec ON ec.vec_id = cand.neighbor_id
+        ),
+        r AS (SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+        FROM r WHERE rank <= {k}
+    """
+
+
+def _ann_ivf_sql(k: int = 3, nprobe: int = 4) -> str:
+    """DuckDB replication of the FULL ann_ivf_topk algorithm at sf0.01:
+    the injected centroids (same floats as the Spark query — repr()
+    round-trips doubles) are embedded as literals; assignment/probing are
+    L2 row_number ranks with first-index (cid) tie-break, matching the
+    numpy argmin/stable-argsort kernels; then candidate join + exact
+    cosine re-rank."""
+    cents = _ivf_centroids("/root/testdata/sf0.01")
+    values = ",\n          ".join(
+        f"({cid}, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for cid, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(cid, c) AS (VALUES
+          {values}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assign AS (
+          SELECT e.vec_id, ct.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_distance(e.v, ct.c), ct.cid) AS rn
+          FROM e CROSS JOIN cents ct
+        ),
+        corpus AS (SELECT vec_id AS neighbor_id, cid AS cluster FROM assign WHERE rn = 1),
+        probe AS (SELECT vec_id AS query_id, cid AS cluster
+                  FROM assign WHERE rn <= {nprobe} AND vec_id < 20),
+        cand AS (
+          SELECT DISTINCT p.query_id, c.neighbor_id
+          FROM corpus c JOIN probe p ON c.cluster = p.cluster
+          WHERE c.neighbor_id != p.query_id
+        ),
+        s AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 list_cosine_similarity(eq.v, ec.v) AS sim
+          FROM cand
+          JOIN e eq ON eq.vec_id = cand.query_id
+          JOIN e ec ON ec.vec_id = cand.neighbor_id
+        ),
+        r AS (SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+        FROM r WHERE rank <= {k}
+    """
+
+
+def _ks_sql(n_quantiles: int = 101) -> str:
+    """DuckDB closed form of drift_ks(exact_grid=True): the global grid is
+    quantile_cont at the SAME fraction literals Spark's percentile gets,
+    the global ECDF values are the SAME np.linspace floats the kernel
+    compares against (i*0.01 and i/100 differ in the last ulp — literals
+    keep both engines on identical bits), and each group's ECDF is a
+    grid-count. NULL num values are excluded from the ECDF but counted in
+    n_rows, matching the kernel's dropna/len(pdf) split."""
+    import numpy as np
+
+    fracs = ", ".join(repr(i / (n_quantiles - 1)) for i in range(n_quantiles))
+    ps_vals = ",\n          ".join(
+        f"({i}, {float(p)!r})" for i, p in enumerate(np.linspace(0.0, 1.0, n_quantiles))
+    )
+    return f"""
+        WITH gl AS (SELECT quantile_cont(n_chars, [{fracs}]) AS qs FROM documents),
+        grid AS (
+          SELECT generate_subscripts(qs, 1) - 1 AS i, unnest(qs) AS q FROM gl
+        ),
+        ps(i, p) AS (VALUES
+          {ps_vals}),
+        grp AS (SELECT lang, count(*) AS n_rows, count(n_chars) AS n_val
+                FROM documents GROUP BY lang),
+        cell AS (
+          SELECT d.lang, g.i,
+                 sum(CASE WHEN d.n_chars <= g.q THEN 1 ELSE 0 END) AS cle
+          FROM documents d CROSS JOIN grid g
+          WHERE d.n_chars IS NOT NULL
+          GROUP BY d.lang, g.i
+        ),
+        stat AS (
+          SELECT c.lang,
+                 max(abs(c.cle::DOUBLE / grp.n_val - ps.p)) AS ks
+          FROM cell c JOIN grp USING (lang) JOIN ps ON ps.i = c.i
+          GROUP BY c.lang
+        )
+        SELECT grp.lang, grp.n_rows, round(stat.ks, 6) AS ks_stat
+        FROM grp LEFT JOIN stat USING (lang)
+    """
+
+
+def _simhash_values(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """(id, fp) VALUES rows for every sf0.01 document, fingerprinted by the
+    pure-Python XXH64+SimHash replica (yaschva_spark.xxh64 — an
+    implementation independent of Spark's JVM hashing, differential-tested
+    bit-exact). Cached: oracle_sql() is called once per gate query."""
+    global _SIMHASH_VALUES_CACHE
+    try:
+        return _SIMHASH_VALUES_CACHE
+    except NameError:
+        pass
+    import pandas as pd
+
+    from yaschva_spark.xxh64 import simhash64
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, text in zip(pdf["doc_id"], pdf["text"]):
+        fp = 0 if text is None else simhash64(str(text))
+        idlit = "NULL" if pd.isna(did) else str(int(did))
+        rows.append(f"({idlit}, {fp})")
+    _SIMHASH_VALUES_CACHE = ",\n          ".join(rows)
+    return _SIMHASH_VALUES_CACHE
+
+
+def _simhash_fp_sql() -> str:
+    return f"""
+        SELECT id::BIGINT AS id, fp::BIGINT AS simhash
+        FROM (VALUES
+          {_simhash_values()}) AS t(id, fp)
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    # exact Hamming pairs from the independently-computed fingerprints;
+    # the Spark operator's 4x16-bit banding is EXACT for max_hamming <= 3
+    # (pigeonhole), so banded output == this exhaustive SQL
+    return f"""
+        WITH fps(id, fp) AS (VALUES
+          {_simhash_values()})
+        SELECT a.id::BIGINT AS i, b.id::BIGINT AS j,
+               bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) AS hamming
+        FROM fps a JOIN fps b ON a.id < b.id
+        WHERE bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) <= {max_hamming}
+    """
+
 
 _STOP = {
     "en": "['the','and','of','to','a','in','is','it','that','for']",
@@ -532,6 +729,8 @@ def oracle_sql() -> dict[str, str]:
                      AS n_words_regex
             FROM documents
         """,
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 20),
@@ -584,6 +783,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'de' END AS pred_lang
             FROM h
         """,
+        "ks_drift_by_lang": _ks_sql(),
+        "simhash_fingerprints": _simhash_fp_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
         "doc_fingerprint": """
             SELECT doc_id AS id,
                    (SUM(i * length(w)) % 1000000007)::BIGINT AS fingerprint

@@ -307,18 +307,35 @@ def drift_chi2(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
 
 
 def drift_ks(
-    df: DataFrame, group_col: str, num_col: str, n_quantiles: int = 101
+    df: DataFrame, group_col: str, num_col: str, n_quantiles: int = 101,
+    exact_grid: bool = False,
 ) -> DataFrame:
     """Per-group Kolmogorov–Smirnov statistic of a numeric column vs the
     pooled distribution, via ``applyInPandas`` (Arrow batches, one pandas
     call per group — no per-row Python).
 
-    The global ECDF is summarized by ``n_quantiles`` approximate quantiles
-    computed once and broadcast into the UDF closure; each group's ECDF is
+    The global ECDF is summarized by ``n_quantiles`` quantiles computed
+    once and broadcast into the UDF closure; each group's ECDF is
     evaluated on that grid. Groups are assumed to fit in executor memory
     (true for per-partition drift checks; for giant groups sample first).
+
+    ``exact_grid=False`` (default, the scale path) uses Greenwald-Khanna
+    approximate quantiles — one pass, bounded memory at any table size.
+    ``exact_grid=True`` uses exact linear-interpolation percentiles
+    (Spark's ``percentile``), making the whole statistic a closed form
+    over the data that an independent SQL engine can reproduce — the
+    driver's DuckDB oracle runs exactly that (quantile_cont + grid-count
+    SQL in __spark_entry__). Exact percentiles hold per-group state
+    proportional to distinct values, so prefer the default beyond ~10^8
+    distinct values.
     """
-    grid = df.approxQuantile(num_col, [i / (n_quantiles - 1) for i in range(n_quantiles)], 0.001)
+    fracs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+    if exact_grid:
+        grid = df.select(
+            F.percentile(num_col, F.array(*[F.lit(f) for f in fracs])).alias("g")
+        ).collect()[0]["g"]
+    else:
+        grid = df.approxQuantile(num_col, fracs, 0.001)
 
     def ks(pdf):
         import numpy as np

@@ -422,6 +422,31 @@ def _kmeans_centroids(
     return centroids
 
 
+def kmeans_centroids_local(M, k: int, iters: int = 3) -> list[list[float]]:
+    """Driver-side deterministic Lloyd k-means over an in-memory matrix.
+
+    Init = the first k rows (callers pass rows sorted by id for
+    determinism); assignment = squared-L2 argmin with first-index ties;
+    empty clusters keep their previous centroid. Used to INJECT a coarse
+    quantizer into :func:`ann_ivf_topk` so an independent SQL oracle can
+    share the identical centroids; at cluster scale train with the Spark
+    loop (:func:`_kmeans_centroids`) instead.
+    """
+    import numpy as np
+
+    M = np.asarray(M, dtype=np.float64)
+    k = min(k, len(M))
+    C = M[:k].copy()
+    for _ in range(iters):
+        d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + (C * C).sum(1)[None, :]
+        a = d2.argmin(axis=1)
+        for c in range(k):
+            sel = M[a == c]
+            if len(sel):
+                C[c] = sel.mean(axis=0)
+    return [[float(x) for x in row] for row in C]
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -433,6 +458,7 @@ def ann_ivf_topk(
     kmeans_iters: int = 3,
     dim: int = 64,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer -> inverted lists ->
     probe the nprobe nearest lists per query -> exact cosine re-rank.
@@ -441,8 +467,11 @@ def ann_ivf_topk(
     inverted 'index' is just a cluster_id column, so at 100 TB it is a
     bucketed/partitioned write, amortized across every later query batch).
     Query fan-out is |queries| x nprobe broadcast rows; recall is governed
-    by nprobe/n_lists."""
-    centroids = _kmeans_centroids(corpus, vec_col, n_lists, kmeans_iters, seed, dim)
+    by nprobe/n_lists. ``centroids`` injects a pretrained quantizer
+    (e.g. :func:`kmeans_centroids_local`, which a SQL oracle can share);
+    None trains in-Spark via :func:`_kmeans_centroids`."""
+    if centroids is None:
+        centroids = _kmeans_centroids(corpus, vec_col, n_lists, kmeans_iters, seed, dim)
     nprobe = min(nprobe, len(centroids))  # k was clamped for small corpora
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
