@@ -82,11 +82,16 @@ _REGEX_CACHE: dict[str, re.Pattern] = {}
 
 def _regex(pattern: str) -> re.Pattern:
     """ECMAScript ``new RegExp(p, 'u')`` analog. Python's ``re`` is the
-    closest dialect to ECMA available here; the reference compiles per value
-    (validate.ts:81) — we cache instead (same observable behavior)."""
+    closest dialect to ECMA available here; ECMA-only spellings that Python
+    writes differently (``\\u{...}``, ``(?<name>``, ``\\k<name>``, ``[]``,
+    ``[^]``) are translated first (regexdialect.to_python_pattern). The
+    reference compiles per value (validate.ts:81) — we cache instead (same
+    observable behavior)."""
     rx = _REGEX_CACHE.get(pattern)
     if rx is None:
-        rx = re.compile(pattern)
+        from yaschva_spark.regexdialect import to_python_pattern
+
+        rx = re.compile(to_python_pattern(pattern))
         _REGEX_CACHE[pattern] = rx
     return rx
 

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from yaschva_spark import errors as E
+from yaschva_spark.regexdialect import typed_unsafe
 from yaschva_spark.schema import (
     SchemaError,
     combine_and,
@@ -241,6 +242,21 @@ class _Compiler:
         spec = node["$number"]
         return self._number_checks(expr, dtype, path, spec.get("min"), spec.get("max"))
 
+    def _require_java_safe(self, pattern: str) -> None:
+        """Dialect guard (SURVEY §7.4): ``rlike`` evaluates patterns under
+        Java regex semantics, but the reference compiles them as ECMAScript
+        ``new RegExp(p, 'u')`` (/root/reference/src/validate.ts:81).
+        Constructs whose meaning differs — ``\\u{...}``, long/script
+        Unicode properties, ``[]``/``[^]`` — must not silently compile;
+        raising TypedCompileError makes validate_auto route the schema to
+        the reference-faithful interpreter path instead."""
+        reasons = typed_unsafe(pattern)
+        if reasons:
+            raise TypedCompileError(
+                f"regex {pattern!r} uses ECMA-only constructs "
+                f"({'; '.join(reasons)}); dynamic path required"
+            )
+
     def _string_checks(self, expr, dtype, path, spec: dict) -> Column:
         bad = self._const(path, "not_string", E.NOT_STRING, expr)
         if expr is None or not isinstance(dtype, T.StringType):
@@ -261,6 +277,7 @@ class _Compiler:
                 self._const(path, "str_too_long", E.STR_TOO_LONG, expr),
             )
         if not js_falsy(pattern):
+            self._require_java_safe(pattern)
             # rlike is an unanchored search, same as ECMAScript .test
             chain = chain.when(
                 ~expr.rlike(pattern),
@@ -348,6 +365,8 @@ class _Compiler:
         value_schema = node["$map"]
         value_type = dtype.valueType
         pattern = node.get("regex")
+        if not js_falsy(pattern):
+            self._require_java_safe(pattern)
 
         def entry_viols(e: Column) -> Column:
             key, val = e["key"], e["value"]
