@@ -1,0 +1,85 @@
+"""Hybrid dynamic path: the VARIANT pass-screen must be SOUND (never claim
+pass on a row the interpreter fails) and the hybrid output bit-identical
+to pure interpretation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from yaschva_spark.engine import validate_json_table
+from yaschva_spark.interp import validate as interp_validate
+from yaschva_spark.jsonscreen import ScreenNotApplicable, compile_pass_screen
+
+PROPS_SCHEMA = {"k": {"$number": {"min": 0, "max": 50}}}
+
+TRICKY = [
+    '{"k": 5}', '{"k": 0}', '{"k": 50}', '{"k": 50.0001}', '{"k": -1}',
+    '{"k": 5.5}', '{"k": null}', '{}', '{"k": "5"}', '{"k": true}',
+    '{"k": 5, "j": 1}', '[1]', '"k"', 'null',
+    '{"k": 9007199254740993}',          # > 2^53: double rounds, interp exact
+    '{"k": 1e20}', '{"k": 1e400}',      # overflow to inf in JS
+    '{"k": 4.9e-324}', '{"k": 0.1}',
+    "__undefined__",
+]
+
+
+def _interp_result(schema, raw):
+    from yaschva_spark.interp import UNDEFINED
+
+    value = UNDEFINED if raw is None or raw == "__undefined__" else json.loads(raw)
+    return interp_validate(schema, value)
+
+
+@pytest.mark.parametrize("schema", [
+    PROPS_SCHEMA,
+    {"k": "integer"},
+    {"k": ["?", "string"]},
+    {"k": {"$enum": ["a", "b"]}, "s": {"$string": {"minLength": 2, "regex": "^x"}}},
+    {"k": ["null", {"$number": {"min": 1}}]},
+    "number",
+    ["?", "boolean"],
+])
+def test_screen_soundness(spark, schema):
+    rows = [(i, t) for i, t in enumerate(TRICKY)]
+    rows += [(100 + i, json.dumps({"k": v})) for i, v in enumerate(
+        [1, 2**53 - 1, 2**53 + 1, -(2**60), 0.5, "a", "b", "x", None, [1], {"z": 1}])]
+    rows += [(200, '{"s": "xab", "k": "a"}'), (201, '{"s": "ab", "k": "a"}')]
+    df = spark.createDataFrame(rows, "id long, js string")
+    screened = df.select("id", "js", compile_pass_screen(schema, F.col("js")).alias("p")).collect()
+    for r in screened:
+        if r["p"]:
+            assert _interp_result(schema, r["js"])["result"] == "pass", r["js"]
+
+
+@pytest.mark.parametrize("schema", [PROPS_SCHEMA, {"k": ["?", "string", {"$number": {"max": 10}}]}])
+def test_hybrid_output_identical(spark, schema):
+    rows = [(i, t) for i, t in enumerate(TRICKY)]
+    df = spark.createDataFrame(rows, "id long, js string")
+    cols = ["id", "yv_valid", "yv_violations", "yv_output"]
+    a = sorted(map(repr, validate_json_table(df, schema, "js", screen=True).select(cols).collect()))
+    b = sorted(map(repr, validate_json_table(df, schema, "js", screen=False).select(cols).collect()))
+    assert a == b
+
+
+def test_hybrid_on_events_table(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select("event_id", "props")
+    cols = ["event_id", "yv_valid", "yv_violations", "yv_output"]
+    a = sorted(map(repr, validate_json_table(events, PROPS_SCHEMA, "props", screen=True).select(cols).collect()))
+    b = sorted(map(repr, validate_json_table(events, PROPS_SCHEMA, "props", screen=False).select(cols).collect()))
+    assert a == b
+    # sanity: the screen actually proves the majority JVM-side
+    from yaschva_spark.jsonscreen import compile_pass_screen as cps
+
+    frac = events.select(F.coalesce(cps(PROPS_SCHEMA, F.col("props")), F.lit(False)).alias("p")) \
+        .agg(F.avg(F.col("p").cast("double"))).collect()[0][0]
+    assert frac > 0.5, frac
+
+
+def test_not_applicable_shapes():
+    for schema in [{"k": {"$array": "number"}}, {"k": {"$map": "string"}},
+                   {"a.b": "number"}, {"k": "customT"}]:
+        with pytest.raises(ScreenNotApplicable):
+            compile_pass_screen(schema, F.lit('{"k": 1}'))

@@ -103,6 +103,7 @@ def validate_json_table(
     json_col: str,
     *,
     keep_cols: list[str] | None = None,
+    screen: bool = True,
 ) -> DataFrame:
     """Dynamic path: validate a JSON-text column with exact reference
     semantics via the interpreter, Arrow batch at a time.
@@ -110,10 +111,30 @@ def validate_json_table(
     The literal ``"__undefined__"`` as the whole cell (or SQL NULL) encodes
     a JS-undefined root (FIXTURES.md §1). Appends ``yv_valid``,
     ``yv_violations`` and ``yv_output`` (the mirrored output tree as JSON).
+
+    ``screen=True`` (default) is the hybrid execution from VERDICT r1 #6:
+    a Catalyst VARIANT expression (:mod:`yaschva_spark.jsonscreen`) proves
+    ``pass`` JVM-side for the statically-expressible schema fragment, so
+    per-row Python runs ONLY on rows the screen can't prove — the
+    violating tail, not the table. The screen is sound-by-construction
+    (never claims pass wrongly; differential-tested against the pure
+    interpreter), so the output is bit-identical with ``screen=False``.
+    Schemas outside the fragment silently run fully interpreted.
     """
     check_schema(schema)
     keep = keep_cols if keep_cols is not None else [c for c in df.columns]
     schema_blob = json.dumps(schema)  # ship the schema to executors as text
+
+    screen_col = None
+    pass_blob = None
+    if screen:
+        from yaschva_spark.jsonscreen import ScreenNotApplicable, compile_pass_screen, pass_output_json
+
+        try:
+            screen_col = compile_pass_screen(schema, F.col(json_col))
+            pass_blob = pass_output_json(schema)
+        except ScreenNotApplicable:
+            screen_col = None
 
     out_ddl = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep)
     out_ddl = (out_ddl + ", " if out_ddl else "") + (
@@ -128,26 +149,31 @@ def validate_json_table(
         node = json.loads(schema_blob)
         for pdf in batches:
             texts = pdf[json_col]
-            valid = []
-            viols = []
-            outputs = []
-            for raw in texts:
+            n = len(pdf)
+            if "__yv_screen" in pdf.columns:
+                proved = pdf["__yv_screen"].to_numpy()
+            else:
+                proved = None
+            valid = [True] * n
+            viols: list = [[] for _ in range(n)]
+            outputs = [pass_blob] * n
+            for idx, raw in enumerate(texts):
+                if proved is not None and proved[idx]:
+                    continue  # JVM already proved pass; constants stand
                 if raw is None or raw == UNDEFINED_TOKEN:
                     value = UNDEFINED
                 else:
                     value = json.loads(raw)
                 result = interp_validate(node, value)
                 ok = result["result"] == "pass"
-                valid.append(ok)
+                valid[idx] = ok
                 rows = violations_from_output(result["output"])
-                viols.append(
-                    [
-                        {"path": r["path"], "rule": r["rule"], "error": r["error"], "value": r["value"]}
-                        for r in rows
-                    ]
-                )
-                outputs.append(
-                    json.dumps(output_to_jsonable(result["output"]), separators=(",", ":"))
+                viols[idx] = [
+                    {"path": r["path"], "rule": r["rule"], "error": r["error"], "value": r["value"]}
+                    for r in rows
+                ]
+                outputs[idx] = json.dumps(
+                    output_to_jsonable(result["output"]), separators=(",", ":")
                 )
             out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
             out[PASS_COL] = valid
@@ -155,4 +181,7 @@ def validate_json_table(
             out["yv_output"] = outputs
             yield out
 
-    return df.mapInPandas(run_batches, schema=out_ddl)
+    src = df
+    if screen_col is not None:
+        src = df.withColumn("__yv_screen", screen_col)
+    return src.mapInPandas(run_batches, schema=out_ddl)
