@@ -172,7 +172,7 @@ def _q_exact_dup_props(spark, sf_dir):
     from yaschva_spark.ops import dedup
 
     events = _t(spark, sf_dir, "events")
-    groups = dedup.exact_duplicates(events, "event_id", "props")
+    groups = dedup.exact_duplicates(events, "event_id", "props", sample_ids=0)
     return groups.select("content_hash", "n", "min_id")
 
 

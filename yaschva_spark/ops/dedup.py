@@ -44,6 +44,9 @@ def exact_duplicates(
     re-derived ONLY for duplicate hashes via a row_number window capped at
     ``sample_ids``, so per-group state is bounded everywhere. The window
     shuffle touches just the duplicate subset, not the table.
+
+    ``sample_ids=0`` skips the sample branch entirely (no ``ids`` column,
+    no second join) — use it when only counts/canonical ids are needed.
     """
     hashed = df.select(
         F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("content_hash")
@@ -53,6 +56,8 @@ def exact_duplicates(
         .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("min_id"))
         .filter(F.col("n") > 1)
     )
+    if sample_ids <= 0:
+        return groups
     w = Window.partitionBy("content_hash").orderBy("id")
     sample = (
         hashed.join(groups.select("content_hash"), "content_hash")

