@@ -192,6 +192,14 @@ def _q_minhash_near_dup(spark, sf_dir):
     return pairs.select("i", "j", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    from yaschva_spark.ops import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup.dup_clusters(pairs)
+
+
 def _q_cosine_topk(spark, sf_dir):
     from yaschva_spark.ops import similarity
 
@@ -307,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_props": _q_exact_dup_props,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_near_dup": _q_minhash_near_dup,
+        "dedup_clusters": _q_dedup_clusters,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -717,6 +726,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "minhash_near_dup": _JACCARD_SQL,
+        # connected components as a recursive transitive closure over the
+        # same Jaccard pairs; cluster = min reachable id (incl. self)
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            p AS (SELECT i, j FROM ({_JACCARD_SQL})),
+            edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+            )
+            SELECT a AS id, least(a, min(b))::BIGINT AS cluster
+            FROM reach GROUP BY a
+        """,
         "embedding_near_dup": _NEAR_DUP_SQL,
         # the LSH operator's planner (ops.similarity.lsh_near_dup_params)
         # selects the exhaustive GEMM plan at threshold 0.4 — LSH cannot

@@ -326,3 +326,42 @@ def test_lsh_near_dup_forced_banding_recall(spark):
     assert got <= exact  # exact verification -> precision 1.0
     assert len(exact) >= 25
     assert len(got) / len(exact) >= 0.95  # the tuner's recall target
+
+
+def test_dup_clusters_components(spark):
+    # chain + clique + singleton pair; cluster = min id per component
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain -> cluster 1
+         (10, 11), (10, 12), (11, 12),    # clique -> cluster 10
+         (20, 21)],                        # pair -> cluster 20
+        "i long, j long",
+    )
+    got = {r["id"]: r["cluster"] for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_matches_union_find(spark):
+    import random
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "i long, j long")
+    got = {r["id"]: r["cluster"] for r in dedup.dup_clusters(pairs).collect()}
+    # reference union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        want[a] = find(a)
+        want[b] = find(b)
+    assert got == want

@@ -273,6 +273,56 @@ def minhash_lsh_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: ``(id, cluster)`` with
+    ``cluster`` = the minimum id in the component — the canonical document
+    every member deduplicates to. Emits only ids that appear in ``pairs``
+    (singletons are their own canonicals by definition).
+
+    Min-label propagation: each iteration joins the (persisted) bidirected
+    edge list against current labels and takes the per-node min — one
+    shuffle join + one hash agg per round, state is one (id, label) row
+    per node, never adjacency lists. Convergence needs O(component
+    diameter) rounds; duplicate families are near-cliques (diameter 1-3),
+    so 2-4 rounds close real dedup workloads, with ``max_iters`` as the
+    pathological-chain bound (a 10^12-row run that needs long-chain
+    resolution should switch to the large-star/small-star variant, which
+    is O(log n) rounds — same join/agg primitives). Each round
+    ``localCheckpoint``s the label table to cut lineage, so plans stay
+    constant-size across iterations.
+
+    Input column convention: ``(i, j)`` pairs as produced by every pair
+    operator in this module and ops.similarity.
+    """
+    edges = pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
+    edges = persist_tracked(
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    )
+    # init: label(v) = min(v, min neighbor) — one agg over the edge list
+    labels = edges.groupBy("a").agg(F.least(F.col("a"), F.min("b")).alias("label"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        via_nbr = (
+            edges.join(labels.withColumnRenamed("a", "b"), "b")
+            .select("a", "label")
+        )
+        new_labels = (
+            via_nbr.union(labels)
+            .groupBy("a")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "a")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias("id"), F.col("label").alias("cluster"))
+
+
 @F.pandas_udf(T.LongType())
 def _simhash_from_hashes(token_hashes: pd.Series) -> pd.Series:
     """Bit-voting half of SimHash: given each document's token hashes
