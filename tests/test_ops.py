@@ -365,3 +365,39 @@ def test_dup_clusters_matches_union_find(spark):
         want[a] = find(a)
         want[b] = find(b)
     assert got == want
+
+
+def test_prefix_filter_is_lossless(spark, docs):
+    # the prefix-filtered plan must equal the naive inverted index exactly
+    for th in (0.3, 0.5, 0.8):
+        fast = {
+            (r["i"], r["j"]): round(r["jaccard"], 9)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=th, prefix_filter=True
+            ).collect()
+        }
+        naive = {
+            (r["i"], r["j"]): round(r["jaccard"], 9)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=th, prefix_filter=False
+            ).collect()
+        }
+        assert fast == naive, th
+
+
+def test_prefix_filter_random_corpus(spark):
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{k}" for k in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 15))))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    for th in (0.2, 0.5):
+        fast = {(r["i"], r["j"]) for r in
+                dedup.ngram_jaccard_pairs(df, "id", "t", n=2, threshold=th,
+                                          prefix_filter=True).collect()}
+        naive = {(r["i"], r["j"]) for r in
+                 dedup.ngram_jaccard_pairs(df, "id", "t", n=2, threshold=th,
+                                           prefix_filter=False).collect()}
+        assert fast == naive, th

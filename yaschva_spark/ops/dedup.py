@@ -87,6 +87,60 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     ).filter(F.size("shingle_set") > 0)
 
 
+def _verify_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (i, j) pairs by rejoining the full
+    shingle sets — the shared verification tail of every candidate
+    generator (capped, prefix-filtered, LSH)."""
+    sets = sh.select("id", "shingle_set")
+    cand = cand.join(
+        sets.withColumnRenamed("id", "i").withColumnRenamed("shingle_set", "set_i"), "i"
+    ).join(sets.withColumnRenamed("id", "j").withColumnRenamed("shingle_set", "set_j"), "j")
+    inter = F.size(F.array_intersect("set_i", "set_j"))
+    union = F.size("set_i") + F.size("set_j") - inter
+    return cand.select("i", "j", (inter / union).alias("jaccard"))
+
+
+def _prefix_jaccard(sh: DataFrame, threshold: float, inv: DataFrame) -> DataFrame:
+    """EXACT threshold-Jaccard pairs via positional prefix filtering
+    (AllPairs/PPJoin): under any common total order of shingles, two sets
+    with J >= t must share an element within their first
+    ``|S| - ceil(t*|S|) + 1`` shingles — so the candidate self-join runs
+    on the PREFIX index only, shrinking the quadratic hot-shingle blowup
+    by ~(1-t)^2 per shingle while missing NOTHING (verification on full
+    sets keeps values exact; equality with the unfiltered plan is
+    asserted in tests). The order used is (document frequency asc,
+    shingle) — rarest-first, the standard choice, so the prefixes land on
+    the LOW-df shingles and the ubiquitous ones mostly fall outside every
+    prefix. A size filter (min >= t * max) prunes further: J >= t is
+    impossible across a bigger length gap."""
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.select("id", F.size("shingle_set").alias("sz"))
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    prefix = (
+        inv.join(dfreq, "shingle")
+        .join(sizes, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "shingle", "sz")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .dropDuplicates(["i", "j"])
+    )
+    return _verify_pairs(cand, sh)
+
+
 def _pair_jaccard(sh: DataFrame, max_df: int | None = None) -> DataFrame:
     """Inverted-index Jaccard: pairs sharing >= 1 (eligible) shingle, with
     their EXACT Jaccard similarity. Input: (id, shingle_set).
@@ -100,7 +154,9 @@ def _pair_jaccard(sh: DataFrame, max_df: int | None = None) -> DataFrame:
     stay exact. The only approximation: a pair sharing *nothing but*
     hot shingles is missed — for near-dup thresholds that pair is far
     below threshold anyway (its common shingles are in >max_df docs).
-    ``max_df=None`` (default) is the fully exact oracle path.
+    ``max_df=None`` (default) is the fully exact oracle path. For
+    threshold queries prefer :func:`_prefix_jaccard`, which prunes
+    losslessly.
     """
     sizes = sh.select("id", F.size("shingle_set").alias("sz"))
     inv = sh.select("id", F.explode("shingle_set").alias("shingle"))
@@ -122,13 +178,7 @@ def _pair_jaccard(sh: DataFrame, max_df: int | None = None) -> DataFrame:
             .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
             .dropDuplicates(["i", "j"])
         )
-        sets = sh.select("id", "shingle_set")
-        cand = cand.join(
-            sets.withColumnRenamed("id", "i").withColumnRenamed("shingle_set", "set_i"), "i"
-        ).join(sets.withColumnRenamed("id", "j").withColumnRenamed("shingle_set", "set_j"), "j")
-        inter = F.size(F.array_intersect("set_i", "set_j"))
-        union = F.size("set_i") + F.size("set_j") - inter
-        return cand.select("i", "j", (inter / union).alias("jaccard"))
+        return _verify_pairs(cand, sh)
     a = inv.alias("a")
     b = inv.alias("b")
     common = (
@@ -157,16 +207,34 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """Exact near-duplicate pairs: word n-gram Jaccard >= threshold.
-    Output (i, j, jaccard) with i < j. Exact but join-bound — use
-    :func:`minhash_lsh_pairs` at scale, or set ``max_df`` to cap the
-    quadratic hot-shingle candidate blowup (see :func:`_pair_jaccard`)."""
+    """EXACT near-duplicate pairs: word n-gram Jaccard >= threshold.
+    Output (i, j, jaccard) with i < j.
+
+    ``prefix_filter=True`` switches to positional prefix filtering
+    (:func:`_prefix_jaccard`) — LOSSLESS candidate pruning (output equals
+    the naive inverted index for every threshold; asserted in tests).
+    Regime note (measured at sf0.1): the synthetic corpus has a flat,
+    low document-frequency distribution, so the naive count-join is ~2x
+    faster there (3.9 s vs 1.8 s — the prefix plan pays 3 extra shuffles
+    for candidates that were never the bottleneck); on natural text,
+    where Zipfian shingles make a few df≈n shingles dominate the
+    candidate join, prefix filtering is the standard 10-100x reducer.
+    Flip it on when the df distribution is heavy; ``max_df`` (implies the
+    naive candidate shape) is the blunt cap for the extreme case, and
+    :func:`minhash_lsh_pairs` the sub-quadratic path when even exact
+    candidates are too many."""
     # feeds index + size branches; registered so callers can release it via
     # cache.unpersist_intermediates() after their action (the returned df is
     # lazy, so the operator itself can never unpersist)
     sh = persist_tracked(shingles(df, id_col, text_col, n))
-    return _pair_jaccard(sh, max_df=max_df).filter(F.col("jaccard") >= threshold)
+    if prefix_filter and max_df is None and threshold > 0:
+        inv = sh.select("id", F.explode("shingle_set").alias("shingle"))
+        pairs = _prefix_jaccard(sh, threshold, inv)
+    else:
+        pairs = _pair_jaccard(sh, max_df=max_df)
+    return pairs.filter(F.col("jaccard") >= threshold)
 
 
 def minhash_signatures(
