@@ -118,3 +118,58 @@ def test_stateful_violation_totals_accumulates(spark, tmp_path):
     for k, r in second.items():
         assert r["n_rows_total"] == 2 * first[k]["n_rows_total"]
         assert r["n_violations_total"] == 2 * first[k]["n_violations_total"]
+
+
+def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    import pandas as pd
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["same", "same", "other", "same"],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:00", "2026-01-01 00:00:30",
+                 "2026-01-01 00:01:00", "2026-01-01 00:02:00"]
+            ).astype("datetime64[us]"),  # Spark rejects NANOS parquet
+        }
+    ).to_parquet(src / "p0.parquet")
+    stream = streaming.read_stream(
+        spark, str(src), spark.read.parquet(str(src / "p0.parquet")).schema
+    )
+    deduped = streaming.dedup_stream(stream, "text", "ts", watermark="10 minutes")
+    q = streaming.run_to_memory_sink(deduped, "dedup_stream_t")
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.table("dedup_stream_t").collect())
+    assert got == [1, 3]  # all 'same' re-arrivals inside the horizon dropped
+
+
+def test_windowed_drift_chi2_stream_matches_closed_form(spark, tmp_path):
+    import pandas as pd
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    rows = (
+        [("en", "2026-01-01 00:00:05")] * 6
+        + [("fr", "2026-01-01 00:00:10")] * 4
+        + [("zz", "2026-01-01 00:00:20")] * 2  # unseen in baseline
+        + [("en", "2026-01-01 00:01:10")] * 5  # second window, pure en
+    )
+    pd.DataFrame(
+        {"lang": [r[0] for r in rows],
+         "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]")}
+    ).to_parquet(src / "p0.parquet")
+    baseline = {"en": 0.5, "fr": 0.5}
+    stream = streaming.read_stream(
+        spark, str(src), spark.read.parquet(str(src / "p0.parquet")).schema
+    )
+    drifted = streaming.windowed_drift_chi2(stream, "ts", "lang", baseline, "1 minute")
+    q = streaming.run_to_memory_sink(drifted, "drift_chi2_t", output_mode="complete")
+    q.awaitTermination()
+    got = {r["window"]["start"].minute: r for r in spark.table("drift_chi2_t").collect()}
+    # window 0: covered n=10, o_en=6, o_fr=4 -> chi2 = (6-5)^2/5 + (4-5)^2/5 = 0.4
+    assert got[0]["n_rows"] == 12 and got[0]["n_unseen"] == 2
+    assert got[0]["chi2"] == pytest.approx(0.4, abs=1e-6)
+    # window 1: n=5 all en -> chi2 = (5-2.5)^2/2.5 + (0-2.5)^2/2.5 = 5.0
+    assert got[1]["chi2"] == pytest.approx(5.0, abs=1e-6)

@@ -97,6 +97,82 @@ def run_to_memory_sink(
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming deduplication on content hash, state bounded by the
+    watermark horizon: ``dropDuplicatesWithinWatermark`` keeps one state
+    entry per hash only until the watermark passes its event time, so an
+    unbounded firehose doesn't grow state forever (a plain
+    ``dropDuplicates`` on a stream would). Semantics: the FIRST arrival
+    within the horizon wins; a byte-identical document arriving more than
+    ``watermark`` later is treated as new — the right contract for
+    continuous ingest dedup, where re-publishes beyond the horizon are
+    separate events."""
+    return (
+        stream_df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+def windowed_drift_chi2(
+    df: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    baseline: dict[str, float],
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming drift monitor: per-window chi-square of a categorical
+    column against a FIXED baseline distribution (e.g. the training
+    corpus's language shares): ``(window, n_rows, n_unseen, chi2)``.
+
+    The batch :func:`yaschva_spark.checks.drift_chi2` compares groups to
+    the pooled distribution — a two-level aggregation a stream can't
+    re-aggregate. Against a *constant* baseline the statistic collapses to
+    ONE windowed aggregation (conditional sums per known category, the
+    category list coming from the baseline's keys), so it is stateless
+    beyond the window and watermark-evictable. Categories absent from the
+    baseline get probability 0 (chi2 undefined) — they are counted in
+    ``n_unseen`` instead of poisoning the statistic.
+
+    chi2_w = sum_c (o_wc - n_w p_c)^2 / (n_w p_c), over baseline
+    categories; windows with no baseline-covered rows report NULL.
+    """
+    cats = list(baseline)
+    df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    aggs = [
+        F.sum((F.col(cat_col) == c).cast("long")).alias(f"__o_{i}")
+        for i, c in enumerate(cats)
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    aggs.append(
+        F.sum((~F.col(cat_col).isin(cats)).cast("long")).alias("n_unseen")
+    )
+    win = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("window"))
+        .agg(*aggs)
+    )
+    n_cov = F.col("n_rows") - F.col("n_unseen")
+    chi2 = None
+    for i, c in enumerate(cats):
+        e = n_cov * F.lit(float(baseline[c]))
+        term = (F.col(f"__o_{i}") - e) ** 2 / e
+        chi2 = term if chi2 is None else chi2 + term
+    return win.select(
+        "window",
+        "n_rows",
+        "n_unseen",
+        F.when(n_cov > 0, F.round(chi2, 6)).alias("chi2"),
+    )
+
+
 def stateful_violation_totals(
     validated: DataFrame,
     key_col: str = "repo",
