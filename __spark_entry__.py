@@ -244,6 +244,13 @@ def _ivf_centroids(sf_dir: str, n_lists: int = 16, iters: int = 3):
     return similarity.kmeans_centroids_local(M, n_lists, iters)
 
 
+def _q_embedding_near_dup_tiled(spark, sf_dir):
+    from yaschva_spark.ops import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_tiled(emb, threshold=0.4, n_blocks=8)
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     from yaschva_spark.ops import similarity
 
@@ -321,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "embedding_near_dup_tiled": _q_embedding_near_dup_tiled,
         "token_counts": _q_token_counts,
         "simhash_pairs": _q_simhash_pairs,
         "text_profile": _q_text_profile,
@@ -745,6 +753,8 @@ def oracle_sql() -> dict[str, str]:
         # selects the exhaustive GEMM plan at threshold 0.4 — LSH cannot
         # beat it there — so its output is exact and shares the oracle
         "embedding_near_dup_lsh": _NEAR_DUP_SQL,
+        # tiled exact (triangle block partitioning) computes the same set
+        "embedding_near_dup_tiled": _NEAR_DUP_SQL,
         "token_counts": r"""
             SELECT doc_id AS id,
                    len(string_split(text, ' ')) AS n_tokens,

@@ -401,3 +401,18 @@ def test_prefix_filter_random_corpus(spark):
                  dedup.ngram_jaccard_pairs(df, "id", "t", n=2, threshold=th,
                                            prefix_filter=False).collect()}
         assert fast == naive, th
+
+
+def test_tiled_near_dup_equals_broadcast_gemm(emb):
+    exact = {
+        (r["i"], r["j"], r["sim"])
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    for n_blocks in (1, 3, 8):
+        tiled = {
+            (r["i"], r["j"], r["sim"])
+            for r in similarity.embedding_near_dup_tiled(
+                emb, threshold=0.35, n_blocks=n_blocks
+            ).collect()
+        }
+        assert tiled == exact, n_blocks
