@@ -83,3 +83,97 @@ def test_not_applicable_shapes():
                    {"a.b": "number"}, {"k": "customT"}]:
         with pytest.raises(ScreenNotApplicable):
             compile_pass_screen(schema, F.lit('{"k": 1}'))
+
+
+def _rand_fragment_schema(rng):
+    """Random schema inside the screenable fragment."""
+    def leaf():
+        k = rng.randrange(7)
+        if k == 0:
+            return rng.choice(["string", "number", "integer", "boolean", "null", "any", "?"])
+        if k == 1:
+            spec = {}
+            if rng.random() < 0.7:
+                spec["minLength"] = rng.randrange(0, 4)
+            if rng.random() < 0.7:
+                spec["maxLength"] = rng.randrange(4, 10)
+            if rng.random() < 0.4:
+                spec["regex"] = rng.choice(["^[a-z]+$", "[0-9]", "^x"])
+            return {"$string": spec}
+        if k == 2:
+            spec = {}
+            if rng.random() < 0.8:
+                spec["min"] = rng.randrange(-50, 0)
+            if rng.random() < 0.8:
+                spec["max"] = rng.randrange(0, 50)
+            return {"$number": spec}
+        if k == 3:
+            return {"$enum": rng.sample(["a", "b", "c", "dd"], rng.randrange(1, 4))}
+        if k == 4:
+            return ["?", leaf_nonunion()]
+        if k == 5:
+            return [leaf_nonunion(), leaf_nonunion()]
+        return "integer"
+
+    def leaf_nonunion():
+        while True:
+            x = leaf()
+            if not isinstance(x, list):
+                return x
+
+    return {f"f{i}": leaf() for i in range(rng.randrange(1, 4))}
+
+
+def _rand_json_value(rng):
+    k = rng.randrange(9)
+    if k == 0:
+        return rng.randrange(-60, 60)
+    if k == 1:
+        return rng.uniform(-60, 60)
+    if k == 2:
+        return rng.choice(["a", "b", "c", "dd", "xyz", "", "xabc", "12345678901"])
+    if k == 3:
+        return rng.choice([True, False])
+    if k == 4:
+        return None
+    if k == 5:
+        return 2**53 + rng.randrange(10)
+    if k == 6:
+        return [1, 2]
+    if k == 7:
+        return {"z": 1}
+    return rng.uniform(-1e21, 1e21)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_screen_soundness_fuzz(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    schema = _rand_fragment_schema(rng)
+    keys = list(schema)
+    rows = []
+    for i in range(60):
+        doc = {}
+        for key in keys:
+            r = rng.random()
+            if r < 0.15:
+                continue  # missing
+            doc[key] = _rand_json_value(rng)
+        if rng.random() < 0.1:
+            doc["extra"] = 1
+        rows.append((i, json.dumps(doc)))
+    df = spark.createDataFrame(rows, "id long, js string")
+    try:
+        screen = compile_pass_screen(schema, F.col("js"))
+    except ScreenNotApplicable:
+        return
+    for r in df.select("id", "js", screen.alias("p")).collect():
+        if r["p"]:
+            res = _interp_result(schema, r["js"])
+            assert res["result"] == "pass", (seed, r["js"], schema)
+    # and the hybrid output equals pure interpretation
+    cols = ["id", "yv_valid", "yv_violations", "yv_output"]
+    a = sorted(map(repr, validate_json_table(df, schema, "js", screen=True).select(cols).collect()))
+    b = sorted(map(repr, validate_json_table(df, schema, "js", screen=False).select(cols).collect()))
+    assert a == b, (seed, schema)
