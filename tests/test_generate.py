@@ -251,3 +251,29 @@ def test_mutation_fails_with_right_rule():
     assert result["result"] == "fail"
     rules = {r["rule"] for r in violations_from_output(result["output"])}
     assert rules == {"not_integer", "str_too_short"}
+
+
+def test_generate_table_roundtrip_and_determinism(spark):
+    from yaschva_spark.engine import PASS_COL, validate_json_table
+    from yaschva_spark.generate import generate_table
+
+    schema = {
+        "name": {"$string": {"minLength": 1, "maxLength": 12}},
+        "age": {"$number": {"min": 0, "max": 120}},
+        "tags": {"$array": {"$enum": ["a", "b", "c"]}},
+        "nick": ["?", "string"],
+    }
+    tbl = generate_table(spark, schema, 300, seed=9)
+    # generate -> validate roundtrip holds for every row (dynamic path)
+    validated = validate_json_table(tbl, schema, "doc", keep_cols=["id"])
+    assert validated.filter(f"NOT {PASS_COL}").count() == 0
+    # deterministic and partitioning-independent
+    a = sorted(map(tuple, tbl.collect()))
+    b = sorted(map(tuple, generate_table(spark, schema, 300, seed=9, partitions=7).collect()))
+    assert a == b
+    # rows equal the single-value generator at the derived seed
+    from yaschva_spark.generate import generate
+    import json
+
+    sample = {r[0]: r[1] for r in a}
+    assert json.loads(sample[5]) == generate(schema, seed=9 + 5)

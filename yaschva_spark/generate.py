@@ -108,6 +108,65 @@ def _apply_preference(branches: list, options: Options) -> list:
     return branches
 
 
+def generate_table(
+    spark,
+    schema: Any,
+    n_rows: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    **option_overrides: Any,
+):
+    """Distributed reference-semantics data generation: ``n_rows``
+    independent ``generate(schema, seed=seed+row_id)`` samples, produced
+    in parallel via ``mapInPandas`` over ``spark.range`` — the table-scale
+    form of the reference's ``generate()`` (each row is exactly what the
+    single-value generator yields for its derived seed, so results are
+    deterministic AND partitioning-independent).
+
+    Returns ``(id, doc)`` with ``doc`` as compact JSON text — generated
+    values are dynamic (unions/optional members produce heterogeneous
+    shapes), so a JSON column feeding :func:`engine.validate_json_table`
+    is the natural carrier; the generate->validate roundtrip then holds
+    row-wise at any scale (asserted in tests).
+    """
+    import json as _json
+
+    schema_blob = _json.dumps(schema)
+
+    def gen(batches):
+        import pandas as pd
+
+        from yaschva_spark.interp import UNDEFINED, UNDEFINED_TOKEN
+
+        node = _json.loads(schema_blob)
+
+        def render(i: int) -> str:
+            v = generate(node, seed=seed + int(i), **option_overrides)
+            if v is UNDEFINED:  # engine convention: BARE token = undefined root
+                return UNDEFINED_TOKEN
+            return _json.dumps(_to_jsonable(v), separators=(",", ":"), ensure_ascii=False)
+
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"], "doc": [render(i) for i in pdf["id"]]})
+
+    rng = spark.range(n_rows, numPartitions=partitions) if partitions else spark.range(n_rows)
+    return rng.mapInPandas(gen, schema="id long, doc string")
+
+
+def _to_jsonable(value: Any) -> Any:
+    """Generated values may contain the UNDEFINED sentinel (optional
+    members chosen absent at the root); map to the fixture token."""
+    from yaschva_spark.interp import UNDEFINED, UNDEFINED_TOKEN
+
+    if value is UNDEFINED:
+        return UNDEFINED_TOKEN
+    if isinstance(value, dict):
+        return {k: _to_jsonable(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_to_jsonable(v) for v in value]
+    return value
+
+
 def generate(schema: Any, seed: int = 42, **option_overrides: Any) -> Any:
     """Public entry point (generate.ts:61-76). ``UNDEFINED`` may be returned
     for optional roots; object fields that generate undefined are omitted."""
