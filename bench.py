@@ -83,11 +83,15 @@ def main() -> None:
 
     result = _run_pipeline()  # warmup
     runs = []
-    for _ in range(3):
+    for _ in range(5):
+        # 5 reps (queries use 3): the pipeline is the headline metric and
+        # this host has multi-minute ambient slow windows (load spikes
+        # external to the JVM) — a longer median is likelier to straddle
+        # a window edge instead of living entirely inside one
         t0 = time.monotonic()
         result = _run_pipeline()
         runs.append(time.monotonic() - t0)
-    pipeline_sec = sorted(runs)[1]
+    pipeline_sec = sorted(runs)[len(runs) // 2]
     timings["validation_pipeline"] = round(pipeline_sec, 4)
 
     total = round(sum(timings.values()), 4)
@@ -105,6 +109,11 @@ def main() -> None:
                 "n_violations": result.n_violations,
                 "n_dup_keys": result.n_dup_keys,
                 "n_orphans": result.n_orphans,
+                # ambient-load context: this host shows external multi-minute
+                # slow windows (BENCH/BASELINE.md); readers should weigh
+                # wall numbers against the load state they were taken in
+                "load_avg_1m": round(os.getloadavg()[0], 2),
+                "pipeline_runs_sec": [round(r, 3) for r in runs],
             }
         )
     )
