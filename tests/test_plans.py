@@ -51,6 +51,10 @@ def test_uniqueness_single_exchange(spark):
 
 def test_column_stats_prunes_scan(spark):
     """Selecting stats over two columns must not read the whole table."""
+    # a prior module's persisted full-table read would plan-match this scan
+    # and CacheManager would swap in an InMemoryTableScan (no ReadSchema
+    # line at all) — clear it; this test asserts the uncached scan shape
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("lang", "n_chars")
     agg = docs.agg(F.countDistinct("lang"), F.avg("n_chars"))
     p = _physical(agg)
