@@ -153,6 +153,19 @@ def _q_lang_chi2_drift(spark, sf_dir):
     return checks.drift_chi2(_t(spark, sf_dir, "documents"), "source", "lang")
 
 
+def _q_lang_psi_drift(spark, sf_dir):
+    # PSI companion to chi2: share-scaled, so one alert threshold at any n
+    return checks.drift_psi(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+def _q_numeric_profile(spark, sf_dir):
+    # exact interpolated percentiles: both engines compute the same closed
+    # form over the sorted data, so values match bit-for-bit (mod round 6)
+    return checks.numeric_profile(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", fracs=(0.25, 0.5, 0.9, 0.99)
+    )
+
+
 def _q_props_json_validation(spark, sf_dir):
     # DYNAMIC path: the reference-faithful interpreter over a JSON column via
     # Arrow-batched mapInPandas (yaschva_spark.engine.validate_json_table) —
@@ -259,6 +272,17 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return similarity.ann_ivf_topk(emb, queries_df, k=3, centroids=_ivf_centroids(sf_dir))
 
 
+def _q_semdedup_pairs(spark, sf_dir):
+    # cluster-scoped near-dup: inject the deterministic local k-means
+    # quantizer (k=8) so the DuckDB oracle shares the identical centroids
+    from yaschva_spark.ops import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup_pairs(
+        emb, threshold=0.4, n_clusters=8, centroids=_ivf_centroids(sf_dir, n_lists=8)
+    )
+
+
 def _q_token_counts(spark, sf_dir):
     from yaschva_spark.ops import text
 
@@ -318,6 +342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_regex_check": _q_source_regex_check,
         "value_range_check": _q_value_range_check,
         "lang_chi2_drift": _q_lang_chi2_drift,
+        "lang_psi_drift": _q_lang_psi_drift,
+        "numeric_profile_by_lang": _q_numeric_profile,
         "props_json_validation": _q_props_json_validation,  # dynamic mapInPandas path
         "exact_dup_props": _q_exact_dup_props,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -329,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_near_dup_tiled": _q_embedding_near_dup_tiled,
+        "semdedup_pairs": _q_semdedup_pairs,
         "token_counts": _q_token_counts,
         "simhash_pairs": _q_simhash_pairs,
         "text_profile": _q_text_profile,
@@ -490,6 +517,62 @@ def _ann_ivf_sql(k: int = 3, nprobe: int = 4) -> str:
               FROM s)
         SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
         FROM r WHERE rank <= {k}
+    """
+
+
+def _numeric_profile_sql(fracs=(0.25, 0.5, 0.9, 0.99)) -> str:
+    """DuckDB closed form of checks.numeric_profile: quantile_cont IS the
+    same exact linear-interpolation percentile Spark's ``percentile``
+    computes; fraction literals are shared via repr so both engines carry
+    identical doubles."""
+    farr = ", ".join(repr(float(f)) for f in fracs)
+    fr_vals = ", ".join(f"({i + 1}, {float(f)!r})" for i, f in enumerate(fracs))
+    return f"""
+        WITH s AS (SELECT lang, count(n_chars)::BIGINT AS n_values,
+                          round(avg(n_chars), 6) AS mean_value,
+                          round(stddev(n_chars), 6) AS stddev_value,
+                          quantile_cont(n_chars, [{farr}]) AS qs
+                   FROM documents GROUP BY lang),
+        u AS (SELECT lang, n_values, mean_value, stddev_value,
+                     generate_subscripts(qs, 1) AS i, unnest(qs) AS q FROM s),
+        fr(i, f) AS (VALUES {fr_vals})
+        SELECT u.lang, u.n_values, u.mean_value, u.stddev_value,
+               fr.f AS fraction, round(u.q, 6) AS quantile_value
+        FROM u JOIN fr ON fr.i = u.i
+    """
+
+
+def _semdedup_sql(threshold: float = 0.4, k: int = 8) -> str:
+    """DuckDB replication of the FULL semdedup_pairs algorithm: the same
+    injected k-means centroids as SQL literals, L2-rank assignment with
+    first-index tie-break (= the numpy argmin kernel), then exact cosine
+    over same-cell (i < j) pairs."""
+    cents = _ivf_centroids("/root/testdata/sf0.01", n_lists=k)
+    values = ",\n          ".join(
+        f"({cid}, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for cid, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(cid, c) AS (VALUES
+          {values}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assign AS (
+          SELECT e.vec_id, ct.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_distance(e.v, ct.c), ct.cid) AS rn
+          FROM e CROSS JOIN cents ct
+        ),
+        corpus AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1),
+        s AS (
+          SELECT a.cluster, a.vec_id AS i, b.vec_id AS j,
+                 list_cosine_similarity(ea.v, eb.v) AS sim
+          FROM corpus a
+          JOIN corpus b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          JOIN e ea ON ea.vec_id = a.vec_id
+          JOIN e eb ON eb.vec_id = b.vec_id
+        )
+        SELECT cluster, i, j, round(sim, 6) AS sim
+        FROM s WHERE sim >= {threshold!r}
     """
 
 
@@ -727,6 +810,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN obs o ON o.source = g.source AND o.lang = c.lang
             GROUP BY g.source, g.n_g
         """,
+        # dense-grid PSI with the eps clamp on absent cells — the engine's
+        # algebraic fold (subtract-present + add-all window sum) computes
+        # the identical statistic without materializing the grid
+        "lang_psi_drift": """
+            WITH obs AS (SELECT source, lang, count(*)::DOUBLE AS o
+                         FROM documents GROUP BY 1, 2),
+                 gt AS (SELECT source, count(*) AS n_g FROM documents GROUP BY source),
+                 ct AS (SELECT lang, count(*)::DOUBLE AS n_c FROM documents GROUP BY lang),
+                 tot AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT g.source,
+                   g.n_g AS n_rows,
+                   round(sum((greatest(coalesce(o.o, 0) / g.n_g, 1e-6)
+                              - greatest(c.n_c / t.n, 1e-6))
+                             * ln(greatest(coalesce(o.o, 0) / g.n_g, 1e-6)
+                                  / greatest(c.n_c / t.n, 1e-6))), 6) AS psi
+            FROM gt g
+            CROSS JOIN ct c
+            CROSS JOIN tot t
+            LEFT JOIN obs o ON o.source = g.source AND o.lang = c.lang
+            GROUP BY g.source, g.n_g
+        """,
+        "numeric_profile_by_lang": _numeric_profile_sql(),
+        "semdedup_pairs": _semdedup_sql(),
         "exact_dup_props": """
             SELECT sha256(props) AS content_hash, count(*) AS n,
                    min(event_id) AS min_id

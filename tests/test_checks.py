@@ -120,3 +120,63 @@ def test_drift_chi2_matches_dense_grid_reference(spark):
             for c in n_c
         )
         assert got[g] == pytest.approx(chi2, abs=1e-5), g
+
+
+def test_drift_psi_matches_reference_formula(spark):
+    # dense-grid reference incl. the eps clamp for a group-absent category
+    import math
+    from collections import Counter
+
+    rows = [("g1", "a")] * 5 + [("g1", "b")] * 3 + [("g2", "a")] * 7 + [("g2", "c")] * 2
+    df = spark.createDataFrame(rows, "g string, c string")
+    eps = 1e-6
+    got = {r["g"]: r for r in checks.drift_psi(df, "g", "c", eps=eps).collect()}
+    obs = Counter(rows)
+    n_g = Counter(g for g, _ in rows)
+    n_c = Counter(c for _, c in rows)
+    n = len(rows)
+    for g in n_g:
+        psi = sum(
+            (max(obs.get((g, c), 0) / n_g[g], eps) - max(n_c[c] / n, eps))
+            * math.log(max(obs.get((g, c), 0) / n_g[g], eps) / max(n_c[c] / n, eps))
+            for c in n_c
+        )
+        assert got[g]["n_rows"] == n_g[g]
+        assert got[g]["psi"] == pytest.approx(psi, abs=1e-5), g
+
+
+def test_drift_psi_orders_groups_by_shift(spark):
+    base = spark.range(0, 3000).select(
+        F.lit("same").alias("g"), (F.col("id") % 5).cast("string").alias("c")
+    )
+    skewed = spark.range(0, 3000).select(
+        F.lit("skewed").alias("g"),
+        F.when(F.col("id") % 10 < 8, "0").otherwise((F.col("id") % 5).cast("string")).alias("c"),
+    )
+    got = {r["g"]: r["psi"] for r in checks.drift_psi(base.unionByName(skewed), "g", "c").collect()}
+    assert got["skewed"] > got["same"] > 0.0
+    assert got["skewed"] > 0.25  # classic "shifted" alert level
+
+
+def test_drift_psi_single_scan_plan(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = checks.drift_psi(df, "source", "lang")._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1, plan
+
+
+def test_numeric_profile_exact_quantiles(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", None),
+         ("b", 10.0), ("n", None)],
+        "g string, x double",
+    )
+    rows = checks.numeric_profile(df, "g", "x", fracs=(0.0, 0.5, 1.0)).collect()
+    by = {(r["g"], r["fraction"]): r for r in rows}
+    # NULL excluded: n_values=4; median of 1..4 interpolates to 2.5
+    assert by[("a", 0.5)]["quantile_value"] == 2.5
+    assert by[("a", 0.0)]["quantile_value"] == 1.0 and by[("a", 1.0)]["quantile_value"] == 4.0
+    assert by[("a", 0.5)]["n_values"] == 4 and by[("a", 0.5)]["mean_value"] == 2.5
+    # single-value group: all quantiles equal it, stddev NULL (sample stddev of 1)
+    assert by[("b", 0.5)]["quantile_value"] == 10.0 and by[("b", 0.5)]["stddev_value"] is None
+    # all-NULL group explodes to zero rows (matches SQL unnest(NULL))
+    assert not [k for k in by if k[0] == "n"]

@@ -416,3 +416,57 @@ def test_tiled_near_dup_equals_broadcast_gemm(emb):
             ).collect()
         }
         assert tiled == exact, n_blocks
+
+
+# --- SemDeDup (cluster-scoped near-dup) --------------------------------------
+def test_semdedup_single_cluster_equals_exact(emb):
+    # one cluster = exhaustive: output must equal the exact operator
+    exact = {
+        (r["i"], r["j"]): r["sim"]
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r["i"], r["j"]): r["sim"]
+        for r in similarity.semdedup_pairs(emb, threshold=0.4, n_clusters=1).collect()
+    }
+    assert got == exact and len(exact) > 0
+
+
+def test_semdedup_clustered_subset_of_exact(emb):
+    exact = {
+        (r["i"], r["j"]): r["sim"]
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    rows = similarity.semdedup_pairs(emb, threshold=0.4, n_clusters=4).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # precision 1: every emitted pair is a true pair with the exact sim
+        assert exact[(r["i"], r["j"])] == r["sim"]
+    # same-cell scoping: both endpoints carry the emitting cluster id
+    assert all(r["cluster"] is not None and r["cluster"] >= 0 for r in rows)
+
+
+def test_semdedup_high_threshold_recall_on_planted_corpus(spark):
+    # planted 0.9-cosine duplicate pairs living in tight groups: k-means
+    # cells must keep essentially all of them (the SemDeDup premise)
+    import math
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    vid = 0
+    for g in range(6):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        for _ in range(20):
+            jit = [b + rng.gauss(0, 0.08) for b in base]
+            rows.append((vid, jit))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = similarity.embedding_near_dup_pairs(df, threshold=0.9).count()
+    got = similarity.semdedup_pairs(
+        df, threshold=0.9, n_clusters=6, kmeans_iters=3, dim=16, seed=7
+    ).count()
+    assert exact > 100
+    # boundary-straddling pairs are the documented approximation; a seeded
+    # k-means occasionally splits one planted group across two cells
+    assert 0.85 <= got / exact <= 1.0

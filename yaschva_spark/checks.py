@@ -306,6 +306,106 @@ def drift_chi2(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
     )
 
 
+def drift_psi(
+    df: DataFrame, group_col: str, cat_col: str, eps: float = 1e-6
+) -> DataFrame:
+    """Per-group Population Stability Index of a categorical column vs the
+    pooled distribution — the monitoring-dashboard companion to
+    :func:`drift_chi2` (chi2 grows with n; PSI is share-scaled, so one
+    alerting threshold works at any table size: <0.1 stable, >0.25 shifted).
+
+    psi_g = sum_c (p_gc - p_c) * ln(p_gc / p_c), p_gc = group share of
+    category c, p_c = pooled share. Categories a group lacks contribute via
+    the ``eps`` clamp (the standard PSI zero-cell convention, applied to
+    both shares so the formula is symmetric and SQL-reproducible).
+
+    Same one-scan shape as chi2: the fact table is aggregated once into the
+    contingency table ``obs``; marginals are window sums OVER OBS, and the
+    cells a group lacks are folded in algebraically instead of
+    materializing a dense grid:
+
+        psi_g = sum_present [(p_gc-p_c)ln(p_gc/p_c) - f(c)] + S,
+        f(c)  = (eps - p_c) ln(eps / p_c),   S = sum_{all cats} f(c)
+
+    (subtract each present cat's absent-cell term, then add the full
+    absent-cell sum S back — S itself is a window sum over obs weighted by
+    1/count(group rows per cat), since each cat appears once per group that
+    has it). NULL categories are a real level (window partitioning is
+    null-safe, unlike a join).
+    """
+    obs = df.groupBy(group_col, cat_col).agg(F.count(F.lit(1)).alias("o"))
+    enriched = obs.select(
+        group_col,
+        "o",
+        F.sum("o").over(Window.partitionBy(cat_col)).alias("n_c"),
+        F.sum("o").over(Window.partitionBy(group_col)).alias("n_g"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+        F.count(F.lit(1)).over(Window.partitionBy(cat_col)).alias("cnt_c"),
+    )
+    p_c = F.greatest(F.col("n_c") / F.col("n"), F.lit(eps))
+    p_g = F.greatest(F.col("o") / F.col("n_g"), F.lit(eps))
+    f_absent = (F.lit(eps) - p_c) * F.log(F.lit(eps) / p_c)
+    terms = enriched.select(
+        group_col,
+        "n_g",
+        ((p_g - p_c) * F.log(p_g / p_c) - f_absent).alias("term"),
+        F.sum(f_absent / F.col("cnt_c")).over(Window.partitionBy()).alias("s_all"),
+    )
+    return (
+        terms.groupBy(group_col)
+        .agg(
+            F.max("n_g").alias("n_rows"),
+            F.round(F.sum("term") + F.max("s_all"), 6).alias("psi"),
+        )
+        .select(group_col, "n_rows", "psi")
+    )
+
+
+def numeric_profile(
+    df: DataFrame,
+    group_col: str,
+    num_col: str,
+    fracs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group numeric distribution profile: count, mean, sample stddev,
+    and exact linear-interpolation percentiles at ``fracs`` — the
+    distributional generalization of the reference's numeric bounds (V4),
+    one row per (group, fraction).
+
+    One hash aggregation; Spark's ``percentile`` is the exact sorted-data
+    interpolation (identical to SQL ``quantile_cont``), so an independent
+    engine reproduces every output bit — that is the oracle story. Exact
+    percentiles hold per-group state proportional to distinct values: the
+    right tool for bounded-cardinality measures (lengths, scores); swap in
+    ``approx_percentile`` beyond ~10^8 distinct values per group (same
+    plan, Greenwald-Khanna state).
+    NULL measures are excluded from all four statistics; a group with no
+    non-NULL measure has a NULL percentile array and explodes to zero rows
+    (= SQL ``unnest(NULL)``) — both engines agree on both edges.
+    """
+    farr = F.array(*[F.lit(float(f)) for f in fracs])
+    agg = df.groupBy(group_col).agg(
+        F.count(num_col).alias("n_values"),
+        F.round(F.avg(num_col), 6).alias("mean_value"),
+        F.round(F.stddev(num_col), 6).alias("stddev_value"),
+        F.percentile(num_col, farr).alias("__qs"),
+    )
+    return agg.select(
+        group_col,
+        "n_values",
+        "mean_value",
+        "stddev_value",
+        F.posexplode("__qs").alias("__i", "quantile_value"),
+    ).select(
+        group_col,
+        "n_values",
+        "mean_value",
+        "stddev_value",
+        F.element_at(farr, F.col("__i") + 1).alias("fraction"),
+        F.round("quantile_value", 6).alias("quantile_value"),
+    )
+
+
 def drift_ks(
     df: DataFrame, group_col: str, num_col: str, n_quantiles: int = 101,
     exact_grid: bool = False,

@@ -445,6 +445,78 @@ def embedding_near_dup_lsh(
     )
 
 
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_clusters: int = 8,
+    kmeans_iters: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped near-duplicate pairs (Abbas et al.
+    2023, arXiv:2303.09540): k-means partition the corpus, then exact
+    pairwise cosine ONLY within each cluster. Output: (cluster, i, j, sim)
+    with i < j and sim >= threshold.
+
+    This is the sub-quadratic embedding-dedup path real LLM pipelines run:
+    semantic duplicates co-locate in embedding space, so restricting the
+    quadratic comparison to cluster cells keeps ~all true pairs while doing
+    ~n^2/k of the work. It occupies the regime where the cost-model planner
+    (:func:`lsh_near_dup_params`) rejects hyperplane LSH — low thresholds
+    like 0.4, where per-plane selectivity is too thin — because k-means
+    cells adapt to the corpus's actual density instead of cutting it with
+    random planes.
+
+    Plan shape: one cluster assignment (batched GEMM projection), ONE hash
+    partition by cluster id, one local GEMM per cell — no candidate-pair
+    shuffle at all (the LSH/banded plans shuffle ids per (table, bucket)).
+    At 10^12 rows pick k ~ n/50k so a cell's matrix stays executor-sized;
+    a pathological mega-cell is the same failure mode as a hot key — split
+    it with the triangle trick (:func:`embedding_near_dup_tiled` scoped to
+    that cell) or re-cluster the cell. Recall is bounded by clustering
+    quality (pairs straddling a cell boundary are missed — the documented
+    SemDeDup approximation); precision is 1.0 since scoring is exact.
+
+    ``centroids`` injects a pretrained quantizer (the oracle shares these
+    exact floats); None trains the seeded in-Spark k-means.
+    """
+    import numpy as np
+
+    if centroids is None:
+        centroids = _kmeans_centroids(df, vec_col, n_clusters, kmeans_iters, seed, dim)
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _assign_udf(centroids)(F.col(vec_col)).alias("cluster"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("i", T.LongType()),
+            T.StructField("j", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def cell_gemm(key, pdf):
+        M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy().astype(np.int64)
+        G = M @ M.T
+        nrm = np.linalg.norm(M, axis=1)
+        G /= nrm[:, None] * nrm[None, :]
+        mask = (G >= threshold) & (ids[:, None] < ids[None, :])
+        li, ri = np.nonzero(mask)
+        return pd.DataFrame(
+            {"cluster": key[0], "i": ids[li], "j": ids[ri], "sim": G[li, ri]}
+        )
+
+    pairs = assigned.groupBy("cluster").applyInPandas(cell_gemm, out_schema)
+    return pairs.select("cluster", "i", "j", F.round("sim", 6).alias("sim"))
+
+
 def _kmeans_centroids(
     corpus: DataFrame, vec_col: str, k: int, iters: int, seed: int, dim: int
 ) -> list[list[float]]:
