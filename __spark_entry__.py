@@ -12,6 +12,7 @@ to keep value hashes stable.
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -272,6 +273,19 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return similarity.ann_ivf_topk(emb, queries_df, k=3, centroids=_ivf_centroids(sf_dir))
 
 
+def _q_split_counts(spark, sf_dir):
+    # deterministic id-hash train/val/test assignment; the oracle is the
+    # pure-Python XXH64 replica (yaschva_spark.xxh64) run over the same ids
+    from yaschva_spark.ops import split as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sp.hash_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _q_semdedup_pairs(spark, sf_dir):
     # cluster-scoped near-dup: inject the deterministic local k-means
     # quantizer (k=8) so the DuckDB oracle shares the identical centroids
@@ -356,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_near_dup_tiled": _q_embedding_near_dup_tiled,
         "semdedup_pairs": _q_semdedup_pairs,
+        "split_counts": _q_split_counts,
         "token_counts": _q_token_counts,
         "simhash_pairs": _q_simhash_pairs,
         "text_profile": _q_text_profile,
@@ -539,6 +554,37 @@ def _numeric_profile_sql(fracs=(0.25, 0.5, 0.9, 0.99)) -> str:
         SELECT u.lang, u.n_values, u.mean_value, u.stddev_value,
                fr.f AS fraction, round(u.q, 6) AS quantile_value
         FROM u JOIN fr ON fr.i = u.i
+    """
+
+
+@lru_cache(maxsize=1)
+def _split_counts_sql(seed: int = 7) -> str:
+    """Golden oracle computed by the INDEPENDENT pure-Python XXH64 chain
+    (yaschva_spark.xxh64 replicates Spark's hashLong bit-for-bit): every
+    sf0.01 doc_id is assigned via replica_split and the per-(split, lang)
+    counts are emitted as literals — same technique as the SimHash
+    fingerprint oracles."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from yaschva_spark.ops.split import replica_split
+
+    weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    pdf = pd.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "lang"]
+    )
+    cnt = Counter(
+        (replica_split(int(i), weights, seed), l)
+        for i, l in zip(pdf["doc_id"], pdf["lang"])
+    )
+    vals = ",\n          ".join(
+        f"('{s}', '{l}', {n})" for (s, l), n in sorted(cnt.items())
+    )
+    return f"""
+        SELECT s AS split, l AS lang, n::BIGINT AS n
+        FROM (VALUES
+          {vals}) t(s, l, n)
     """
 
 
@@ -833,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "numeric_profile_by_lang": _numeric_profile_sql(),
         "semdedup_pairs": _semdedup_sql(),
+        "split_counts": _split_counts_sql(),
         "exact_dup_props": """
             SELECT sha256(props) AS content_hash, count(*) AS n,
                    min(event_id) AS min_id
