@@ -470,3 +470,17 @@ def test_semdedup_high_threshold_recall_on_planted_corpus(spark):
     # boundary-straddling pairs are the documented approximation; a seeded
     # k-means occasionally splits one planted group across two cells
     assert 0.85 <= got / exact <= 1.0
+
+
+def test_semdedup_cell_blocks_identical_output(emb):
+    base = sorted(
+        (r["cluster"], r["i"], r["j"], r["sim"])
+        for r in similarity.semdedup_pairs(emb, threshold=0.4, n_clusters=4).collect()
+    )
+    tiled = sorted(
+        (r["cluster"], r["i"], r["j"], r["sim"])
+        for r in similarity.semdedup_pairs(
+            emb, threshold=0.4, n_clusters=4, cell_blocks=3
+        ).collect()
+    )
+    assert base == tiled and len(base) > 0

@@ -455,6 +455,7 @@ def semdedup_pairs(
     dim: int = 64,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    cell_blocks: int = 1,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped near-duplicate pairs (Abbas et al.
     2023, arXiv:2303.09540): k-means partition the corpus, then exact
@@ -473,12 +474,21 @@ def semdedup_pairs(
     Plan shape: one cluster assignment (batched GEMM projection), ONE hash
     partition by cluster id, one local GEMM per cell — no candidate-pair
     shuffle at all (the LSH/banded plans shuffle ids per (table, bucket)).
-    At 10^12 rows pick k ~ n/50k so a cell's matrix stays executor-sized;
-    a pathological mega-cell is the same failure mode as a hot key — split
-    it with the triangle trick (:func:`embedding_near_dup_tiled` scoped to
-    that cell) or re-cluster the cell. Recall is bounded by clustering
-    quality (pairs straddling a cell boundary are missed — the documented
-    SemDeDup approximation); precision is 1.0 since scoring is exact.
+    At 10^12 rows pick k ~ n/50k so a cell's matrix stays executor-sized.
+    Recall is bounded by clustering quality (pairs straddling a cell
+    boundary are missed — the documented SemDeDup approximation);
+    precision is 1.0 since scoring is exact.
+
+    **Mega-cell guard** (``cell_blocks > 1``): a duplicate-dense corpus —
+    exactly what this operator hunts — can collapse into one giant cell,
+    the hot-key failure mode of a single-task GEMM. ``cell_blocks = B``
+    composes the triangle block scheme of
+    :func:`embedding_near_dup_tiled` *inside every cell*: rows hash into B
+    sub-blocks, each unordered sub-block pair (p <= q) of the SAME cell is
+    its own task, so per-task memory drops ~B-fold and the widest cell
+    fans out to B(B+1)/2 parallel tasks, at the cost of each row entering
+    the shuffle (B+1)/2 times. Output is identical for any B (asserted in
+    tests) — pick B so (cell_rows/B) vectors fit an executor.
 
     ``centroids`` injects a pretrained quantizer (the oracle shares these
     exact floats); None trains the seeded in-Spark k-means.
@@ -501,19 +511,54 @@ def semdedup_pairs(
         ]
     )
 
-    def cell_gemm(key, pdf):
-        M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-        ids = pdf["id"].to_numpy().astype(np.int64)
-        G = M @ M.T
-        nrm = np.linalg.norm(M, axis=1)
-        G /= nrm[:, None] * nrm[None, :]
-        mask = (G >= threshold) & (ids[:, None] < ids[None, :])
-        li, ri = np.nonzero(mask)
-        return pd.DataFrame(
-            {"cluster": key[0], "i": ids[li], "j": ids[ri], "sim": G[li, ri]}
+    def _pairs_frame(cluster, L, lid, R, rid, intra):
+        G = L @ R.T
+        G /= np.linalg.norm(L, axis=1)[:, None] * np.linalg.norm(R, axis=1)[None, :]
+        if intra:
+            mask = (G >= threshold) & (lid[:, None] < rid[None, :])
+            li, ri = np.nonzero(mask)
+            a, b = lid[li], rid[ri]
+        else:
+            li, ri = np.nonzero(G >= threshold)
+            a, b = np.minimum(lid[li], rid[ri]), np.maximum(lid[li], rid[ri])
+        return pd.DataFrame({"cluster": cluster, "i": a, "j": b, "sim": G[li, ri]})
+
+    if cell_blocks <= 1:
+
+        def cell_gemm(key, pdf):
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            ids = pdf["id"].to_numpy().astype(np.int64)
+            return _pairs_frame(key[0], M, ids, M, ids, intra=True)
+
+        pairs = assigned.groupBy("cluster").applyInPandas(cell_gemm, out_schema)
+    else:
+        spark = df.sparkSession
+        blk = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(cell_blocks)).cast("int")
+        bpairs = spark.createDataFrame(
+            [(p, q) for p in range(cell_blocks) for q in range(p, cell_blocks)],
+            "p int, q int",
+        )
+        rep = assigned.withColumn("blk", blk).join(
+            F.broadcast(bpairs),
+            (F.col("blk") == F.col("p")) | (F.col("blk") == F.col("q")),
         )
 
-    pairs = assigned.groupBy("cluster").applyInPandas(cell_gemm, out_schema)
+        def tile_gemm(key, pdf):
+            cluster, p, q = key
+            left = pdf[pdf["blk"] == p]
+            right = pdf[pdf["blk"] == q]
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame({"cluster": [], "i": [], "j": [], "sim": []})
+            L = np.vstack(left["v"].to_numpy()).astype(np.float64)
+            R = np.vstack(right["v"].to_numpy()).astype(np.float64)
+            return _pairs_frame(
+                cluster,
+                L, left["id"].to_numpy().astype(np.int64),
+                R, right["id"].to_numpy().astype(np.int64),
+                intra=(p == q),
+            )
+
+        pairs = rep.groupBy("cluster", "p", "q").applyInPandas(tile_gemm, out_schema)
     return pairs.select("cluster", "i", "j", F.round("sim", 6).alias("sim"))
 
 
