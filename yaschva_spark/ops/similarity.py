@@ -229,6 +229,8 @@ def embedding_near_dup_pairs(
     import numpy as np
 
     rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    if not rows:  # np.linalg.norm(axis=1) on a 0-d matrix would raise
+        return df.sparkSession.createDataFrame([], "i long, j long, sim double")
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     M = np.array([list(r["v"]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(M, axis=1)
@@ -257,6 +259,56 @@ def embedding_near_dup_pairs(
     return pairs.select("i", "j", F.round("sim", 6).alias("sim"))
 
 
+def _tile_pair_frame(threshold: float, left, right, intra: bool, cluster=None):
+    """One triangle tile: exact cosine GEMM of ``left x right`` pandas
+    slices (columns id, v), emitting canonical (i < j, sim >= threshold)
+    pairs. ``intra`` applies the strict-order mask (same block: count each
+    unordered pair once); cross tiles canonicalize via min/max since id
+    order is independent of block order. Shared by
+    :func:`embedding_near_dup_tiled` and :func:`semdedup_pairs`'s
+    cell tiling so the mask/canonicalization logic exists exactly once."""
+    import numpy as np
+
+    def frame(a, b, s):
+        out = {"i": a, "j": b, "sim": s}
+        if cluster is not None:
+            out = {"cluster": cluster, **out}
+        return pd.DataFrame(out)
+
+    if len(left) == 0 or len(right) == 0:
+        return frame([], [], [])
+    L = np.vstack(left["v"].to_numpy()).astype(np.float64)
+    R = np.vstack(right["v"].to_numpy()).astype(np.float64)
+    lid = left["id"].to_numpy().astype(np.int64)
+    rid = right["id"].to_numpy().astype(np.int64)
+    G = (L @ R.T) / (
+        np.linalg.norm(L, axis=1)[:, None] * np.linalg.norm(R, axis=1)[None, :]
+    )
+    if intra:
+        li, ri = np.nonzero((G >= threshold) & (lid[:, None] < rid[None, :]))
+        a, b = lid[li], rid[ri]
+    else:
+        li, ri = np.nonzero(G >= threshold)
+        a, b = np.minimum(lid[li], rid[ri]), np.maximum(lid[li], rid[ri])
+    return frame(a, b, G[li, ri])
+
+
+def _replicate_block_pairs(rows: DataFrame, n_blocks: int, seed: int) -> DataFrame:
+    """Triangle replication: hash each row (columns incl. ``id``) into one
+    of ``n_blocks`` blocks, then broadcast-join it to every unordered block
+    pair (p <= q) containing its block — (B+1)/2 copies per row on
+    average; downstream groups on (p, q) see exactly the two blocks of
+    their tile."""
+    spark = rows.sparkSession
+    blk = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(n_blocks)).cast("int")
+    bpairs = spark.createDataFrame(
+        [(p, q) for p in range(n_blocks) for q in range(p, n_blocks)], "p int, q int"
+    )
+    return rows.withColumn("blk", blk).join(
+        F.broadcast(bpairs), (F.col("blk") == F.col("p")) | (F.col("blk") == F.col("q"))
+    )
+
+
 def embedding_near_dup_tiled(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -276,19 +328,8 @@ def embedding_near_dup_tiled(
     at n=10^9, d=64, B=4096 a group holds ~250 MB. The n^2/2 flops are
     irreducible (this is the exact operator); the LSH path is the
     sub-quadratic escape."""
-    import numpy as np
-
-    spark = df.sparkSession
-    blk = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_blocks)).cast("int")
-    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), blk.alias("blk"))
-    bpairs = spark.createDataFrame(
-        [(p, q) for p in range(n_blocks) for q in range(p, n_blocks)], "p int, q int"
-    )
-    # broadcast nested-loop replication: a row in block b joins every pair
-    # containing b -> (B+1)/2 copies per row on average
-    rep = rows.join(
-        F.broadcast(bpairs), (F.col("blk") == F.col("p")) | (F.col("blk") == F.col("q"))
-    )
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    rep = _replicate_block_pairs(rows, n_blocks, seed)
     out_schema = T.StructType(
         [
             T.StructField("i", T.LongType()),
@@ -299,27 +340,8 @@ def embedding_near_dup_tiled(
 
     def gemm_group(key, pdf):
         p, q = key
-        left = pdf[pdf["blk"] == p]
-        right = pdf[pdf["blk"] == q]
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"i": [], "j": [], "sim": []})
-        L = np.vstack(left["v"].to_numpy()).astype(np.float64)
-        R = np.vstack(right["v"].to_numpy()).astype(np.float64)
-        lid = left["id"].to_numpy().astype(np.int64)
-        rid = right["id"].to_numpy().astype(np.int64)
-        G = (L @ R.T) / (
-            np.linalg.norm(L, axis=1)[:, None] * np.linalg.norm(R, axis=1)[None, :]
-        )
-        if p == q:  # intra-block: count each unordered pair once via id order
-            mask = (G >= threshold) & (lid[:, None] < rid[None, :])
-            li, ri = np.nonzero(mask)
-            return pd.DataFrame({"i": lid[li], "j": rid[ri], "sim": G[li, ri]})
-        # cross-block: id order is independent of block order — emit
-        # canonicalized (min, max) so no orientation is lost
-        li, ri = np.nonzero(G >= threshold)
-        a, b = lid[li], rid[ri]
-        return pd.DataFrame(
-            {"i": np.minimum(a, b), "j": np.maximum(a, b), "sim": G[li, ri]}
+        return _tile_pair_frame(
+            threshold, pdf[pdf["blk"] == p], pdf[pdf["blk"] == q], intra=(p == q)
         )
 
     pairs = rep.groupBy("p", "q").applyInPandas(gemm_group, out_schema)
@@ -409,13 +431,40 @@ def embedding_near_dup_lsh(
     The LSH plan itself: multi-table hyperplane bucketing (one GEMM per
     Arrow batch for all sign bits), candidate self-join on (table, bucket)
     carrying ids only, exact cosine verification — precision 1.0, recall
-    ≈ 1-(1-p^P)^T at the threshold."""
+    ≈ 1-(1-p^P)^T at the threshold. Passing ONE of the pair forces LSH
+    too: the other is derived from ``target_recall`` via the same closed
+    form rather than silently overriding the caller's choice."""
+    import math
+
     if n_planes is None or n_tables is None:
-        n = expected_n if expected_n is not None else df.count()
-        plan, p_auto, t_auto = lsh_near_dup_params(threshold, n, target_recall)
-        if plan == "exhaustive":
-            return embedding_near_dup_pairs(df, id_col, vec_col, threshold)
-        n_planes, n_tables = p_auto, t_auto
+        if n_planes is not None or n_tables is not None:
+            # one side explicit: honor it, close the recall equation for
+            # the other (recall = 1-(1-p1^P)^T at the threshold)
+            p1 = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+            if n_planes is not None:
+                pp = p1**n_planes
+                n_tables = (
+                    1
+                    if pp >= 1.0
+                    else max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pp)))
+                )
+            else:
+                # deepest banding whose required table count still fits
+                n_planes = 2
+                for P in range(3, 25):
+                    pp = p1**P
+                    if not 0.0 < pp < 1.0:
+                        break
+                    t_req = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pp))
+                    if t_req > n_tables:
+                        break
+                    n_planes = P
+        else:
+            n = expected_n if expected_n is not None else df.count()
+            plan, p_auto, t_auto = lsh_near_dup_params(threshold, n, target_recall)
+            if plan == "exhaustive":
+                return embedding_near_dup_pairs(df, id_col, vec_col, threshold)
+            n_planes, n_tables = p_auto, t_auto
     tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     bucketer = _bucket_udf(tables)
     bucketed = df.select(
@@ -493,8 +542,6 @@ def semdedup_pairs(
     ``centroids`` injects a pretrained quantizer (the oracle shares these
     exact floats); None trains the seeded in-Spark k-means.
     """
-    import numpy as np
-
     if centroids is None:
         centroids = _kmeans_centroids(df, vec_col, n_clusters, kmeans_iters, seed, dim)
     assigned = df.select(
@@ -511,51 +558,23 @@ def semdedup_pairs(
         ]
     )
 
-    def _pairs_frame(cluster, L, lid, R, rid, intra):
-        G = L @ R.T
-        G /= np.linalg.norm(L, axis=1)[:, None] * np.linalg.norm(R, axis=1)[None, :]
-        if intra:
-            mask = (G >= threshold) & (lid[:, None] < rid[None, :])
-            li, ri = np.nonzero(mask)
-            a, b = lid[li], rid[ri]
-        else:
-            li, ri = np.nonzero(G >= threshold)
-            a, b = np.minimum(lid[li], rid[ri]), np.maximum(lid[li], rid[ri])
-        return pd.DataFrame({"cluster": cluster, "i": a, "j": b, "sim": G[li, ri]})
-
     if cell_blocks <= 1:
 
         def cell_gemm(key, pdf):
-            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            ids = pdf["id"].to_numpy().astype(np.int64)
-            return _pairs_frame(key[0], M, ids, M, ids, intra=True)
+            return _tile_pair_frame(threshold, pdf, pdf, intra=True, cluster=key[0])
 
         pairs = assigned.groupBy("cluster").applyInPandas(cell_gemm, out_schema)
     else:
-        spark = df.sparkSession
-        blk = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(cell_blocks)).cast("int")
-        bpairs = spark.createDataFrame(
-            [(p, q) for p in range(cell_blocks) for q in range(p, cell_blocks)],
-            "p int, q int",
-        )
-        rep = assigned.withColumn("blk", blk).join(
-            F.broadcast(bpairs),
-            (F.col("blk") == F.col("p")) | (F.col("blk") == F.col("q")),
-        )
+        rep = _replicate_block_pairs(assigned, cell_blocks, seed)
 
         def tile_gemm(key, pdf):
             cluster, p, q = key
-            left = pdf[pdf["blk"] == p]
-            right = pdf[pdf["blk"] == q]
-            if len(left) == 0 or len(right) == 0:
-                return pd.DataFrame({"cluster": [], "i": [], "j": [], "sim": []})
-            L = np.vstack(left["v"].to_numpy()).astype(np.float64)
-            R = np.vstack(right["v"].to_numpy()).astype(np.float64)
-            return _pairs_frame(
-                cluster,
-                L, left["id"].to_numpy().astype(np.int64),
-                R, right["id"].to_numpy().astype(np.int64),
+            return _tile_pair_frame(
+                threshold,
+                pdf[pdf["blk"] == p],
+                pdf[pdf["blk"] == q],
                 intra=(p == q),
+                cluster=cluster,
             )
 
         pairs = rep.groupBy("cluster", "p", "q").applyInPandas(tile_gemm, out_schema)

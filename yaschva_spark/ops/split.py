@@ -35,9 +35,10 @@ GRANULARITY = 1_000_000
 
 
 def _bucket_col(id_col: str, seed: int) -> Column:
-    # lit(seed) is cast to long so Spark hashes 8 bytes (an int literal
-    # would take the 4-byte hashInt path and diverge from the replica)
-    h = F.xxhash64(F.lit(seed).cast("long"), F.col(id_col))
+    # BOTH children cast to long so Spark hashes 8 bytes each (int-typed
+    # children take the 4-byte hashInt path, which would diverge from the
+    # replica AND move every row's split on an int->bigint id migration)
+    h = F.xxhash64(F.lit(seed).cast("long"), F.col(id_col).cast("long"))
     return F.pmod(h, F.lit(GRANULARITY))
 
 

@@ -20,7 +20,6 @@ scheduling.
 from __future__ import annotations
 
 import os
-import shutil
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -63,6 +62,34 @@ def pending_buckets(spark: SparkSession, manifest_path: str, n_buckets: int) -> 
     except Exception:
         done = set()
     return sorted(all_buckets - done)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _hadoop_publish(spark: SparkSession, stage_dir: str, dest_dir: str) -> None:
+    """Move staged part files into ``dest_dir`` through the Hadoop
+    FileSystem API — one code path for file:, hdfs:, and object-store
+    schemes (the driver-local os.rename alternative only ever worked for
+    local paths)."""
+    fs, src, jvm = _hadoop_fs(spark, stage_dir)
+    dst = jvm.org.apache.hadoop.fs.Path(dest_dir)
+    fs.mkdirs(dst)
+    for status in fs.listStatus(src):
+        name = status.getPath().getName()
+        if name.startswith("part-"):
+            fs.rename(status.getPath(), jvm.org.apache.hadoop.fs.Path(dst, name))
+
+
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    try:
+        fs, jpath, _ = _hadoop_fs(spark, path)
+        fs.delete(jpath, True)
+    except Exception:  # cleanup must never mask the primary failure
+        pass
 
 
 def run_validation_job(
@@ -180,13 +207,15 @@ def run_validation_job(
     # resume marker, so a bucket must never be VISIBLE in the manifest
     # before its violations are durable. The manifest job therefore writes
     # to a staging directory (full overlap with the violations write) and
-    # its part files are PUBLISHED into manifest_path by rename only after
-    # the violations future resolves. Renames are atomic-cheap on
-    # local/HDFS; on object stores publish degrades to a copy — still
-    # correct, just not free. Crash windows: before publish -> no manifest
+    # its part files are PUBLISHED into manifest_path only after the
+    # violations future resolves — via the Hadoop FileSystem API, so the
+    # same code path covers file:, hdfs:, s3a:, ... (rename is atomic-cheap
+    # on local/HDFS; object-store connectors implement it as copy — still
+    # correct, just not free). Crash windows: before publish -> no manifest
     # rows, buckets reprocess (violations may append duplicate rows on
     # resume — the documented sink caveat); after publish -> fully
-    # consistent.
+    # consistent. A failed violations write aborts publish and the finally
+    # clause removes the staged files, so no half-run ever becomes visible.
     stage_dir = os.path.join(out_dir, f"_manifest_stage_{os.getpid()}_{int(time.monotonic() * 1e6)}")
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = {}
@@ -201,17 +230,14 @@ def run_validation_job(
         futs["manifest"] = pool.submit(
             lambda: manifest.write.mode("overwrite").parquet(stage_dir)
         )
-        futs["manifest"].result()
-        if "viol" in futs:
-            futs["viol"].result()  # durability barrier: violations first
-        os.makedirs(manifest_path, exist_ok=True)
-        for fname in os.listdir(stage_dir):  # publish: rename staged parts
-            if fname.startswith("part-"):
-                os.rename(
-                    os.path.join(stage_dir, fname), os.path.join(manifest_path, fname)
-                )
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        dup_summary = futs["dup"].result()
+        try:
+            futs["manifest"].result()
+            if "viol" in futs:
+                futs["viol"].result()  # durability barrier: violations first
+            _hadoop_publish(spark, stage_dir, manifest_path)
+            dup_summary = futs["dup"].result()
+        finally:
+            _hadoop_delete(spark, stage_dir)  # no-op after a clean publish
 
     # mergeSchema: a resumed out_dir may hold manifest files written before a
     # column existed (e.g. n_orphans); without it Spark infers the schema from

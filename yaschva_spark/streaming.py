@@ -152,7 +152,12 @@ def windowed_drift_chi2(
     ]
     aggs.append(F.count(F.lit(1)).alias("n_rows"))
     aggs.append(
-        F.sum((~F.col(cat_col).isin(cats)).cast("long")).alias("n_unseen")
+        # NULL is "not in the baseline" too: a bare ~isin() is NULL for
+        # NULL inputs and sum() would skip it, leaving NULL-category rows
+        # inside n_cov where they inflate every expected count
+        F.sum(
+            F.when(F.col(cat_col).isNull() | ~F.col(cat_col).isin(cats), 1).otherwise(0)
+        ).alias("n_unseen")
     )
     win = (
         df.withWatermark(ts_col, watermark)
