@@ -214,6 +214,16 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup.dup_clusters(pairs)
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    # O(log n)-round star-contraction variant — same (id, cluster=min id)
+    # contract, same recursive-closure oracle as dedup_clusters
+    from yaschva_spark.ops import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup.dup_clusters_star(pairs)
+
+
 def _q_cosine_topk(spark, sf_dir):
     from yaschva_spark.ops import similarity
 
@@ -366,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_near_dup": _q_minhash_near_dup,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -443,6 +454,20 @@ _JACCARD_SQL = """
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
     SELECT i, j, round(common / (si + sj - common), 6) AS jaccard
     FROM p WHERE common / (si + sj - common) >= 0.5
+"""
+
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE
+    p AS (SELECT i, j FROM ({_JACCARD_SQL})),
+    edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+    )
+    SELECT a AS id, least(a, min(b))::BIGINT AS cluster
+    FROM reach GROUP BY a
 """
 
 def _ann_lsh_sql(k: int = 3, n_planes: int = 4, n_tables: int = 8, dim: int = 64, seed: int = 42) -> str:
@@ -891,19 +916,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "minhash_near_dup": _JACCARD_SQL,
         # connected components as a recursive transitive closure over the
-        # same Jaccard pairs; cluster = min reachable id (incl. self)
-        "dedup_clusters": f"""
-            WITH RECURSIVE
-            p AS (SELECT i, j FROM ({_JACCARD_SQL})),
-            edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
-            reach(a, b) AS (
-              SELECT a, b FROM edges
-              UNION
-              SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
-            )
-            SELECT a AS id, least(a, min(b))::BIGINT AS cluster
-            FROM reach GROUP BY a
-        """,
+        # same Jaccard pairs; cluster = min reachable id (incl. self).
+        # Both engine variants (min-label propagation and large/small-star
+        # contraction) must produce this identical closure.
+        "dedup_clusters": _CLUSTERS_SQL,
+        "dedup_clusters_star": _CLUSTERS_SQL,
         "embedding_near_dup": _NEAR_DUP_SQL,
         # the LSH operator's planner (ops.similarity.lsh_near_dup_params)
         # selects the exhaustive GEMM plan at threshold 0.4 — LSH cannot

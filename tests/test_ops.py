@@ -497,3 +497,32 @@ def test_dup_clusters_raises_when_not_converged(spark):
     # and with room to converge the same chain is one component
     full = dedup.dup_clusters(pairs, max_iters=40).collect()
     assert {r["cluster"] for r in full} == {0}
+
+
+def test_dup_clusters_star_matches_min_label_and_union_find(spark):
+    import random
+
+    rng = random.Random(9)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(110)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "i long, j long")
+    star = {r["id"]: r["cluster"] for r in dedup.dup_clusters_star(pairs).collect()}
+    prop = {r["id"]: r["cluster"] for r in dedup.dup_clusters(pairs, max_iters=40).collect()}
+    assert star == prop
+
+
+def test_dup_clusters_star_closes_long_chain_in_log_rounds(spark):
+    # a 200-node path: min-label would need ~100 rounds; star contraction
+    # must converge within ~log2(200) + slack
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(200)], "i long, j long")
+    got = {r["id"]: r["cluster"] for r in dedup.dup_clusters_star(pairs, max_iters=14).collect()}
+    assert set(got.values()) == {0} and len(got) == 201
+
+
+def test_dup_clusters_star_shapes(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "i long, j long",
+    )
+    got = {r["id"]: r["cluster"] for r in dedup.dup_clusters_star(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
