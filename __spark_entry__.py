@@ -224,6 +224,16 @@ def _q_dedup_clusters_star(spark, sf_dir):
     return dedup.dup_clusters_star(pairs)
 
 
+def _q_dedup_keep(spark, sf_dir):
+    # end-to-end dedup decision: pairs -> clusters -> keep canonical + singletons
+    from yaschva_spark.ops import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    kept = dedup.apply_dedup(docs, dedup.dup_clusters(pairs), "doc_id")
+    return kept.select("doc_id", "lang")
+
+
 def _q_cosine_topk(spark, sf_dir):
     from yaschva_spark.ops import similarity
 
@@ -377,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
+        "dedup_keep": _q_dedup_keep,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -921,6 +932,10 @@ def oracle_sql() -> dict[str, str]:
         # contraction) must produce this identical closure.
         "dedup_clusters": _CLUSTERS_SQL,
         "dedup_clusters_star": _CLUSTERS_SQL,
+        "dedup_keep": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM ({_CLUSTERS_SQL}) WHERE cluster != id)
+        """,
         "embedding_near_dup": _NEAR_DUP_SQL,
         # the LSH operator's planner (ops.similarity.lsh_near_dup_params)
         # selects the exhaustive GEMM plan at threshold 0.4 — LSH cannot

@@ -526,3 +526,17 @@ def test_dup_clusters_star_shapes(spark):
     )
     got = {r["id"]: r["cluster"] for r in dedup.dup_clusters_star(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_apply_dedup_keeps_canonicals_and_singletons(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clusters = dedup.dup_clusters(pairs)
+    kept = dedup.apply_dedup(docs, clusters, "doc_id")
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    cl = {r["id"]: r["cluster"] for r in clusters.collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # dropped = exactly the non-canonical members; one survivor per group
+    assert kept_ids == all_ids - {i for i, c in cl.items() if c != i}
+    for c in set(cl.values()):
+        assert c in kept_ids
+    assert len(cl) > 0

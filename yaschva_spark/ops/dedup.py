@@ -400,6 +400,23 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(F.col("a").alias("id"), F.col("label").alias("cluster"))
 
 
+def apply_dedup(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:
+    """Materialize a dedup decision: keep exactly the canonical row
+    (``cluster == id``) of every duplicate group, plus all singletons.
+
+    ``clusters`` is the output of :func:`dup_clusters` /
+    :func:`dup_clusters_star` — it contains ONLY ids that appeared in a
+    near-dup pair, a vanishing fraction of the corpus, so the drop-list
+    broadcasts and the apply is a map-side anti-probe over one scan: no
+    shuffle of the corpus, ever. (If a corpus were mostly duplicates the
+    drop-list outgrows the broadcast bound — drop the explicit broadcast
+    and let AQE pick the shuffle join; the semantics don't change.)"""
+    drop = clusters.filter(F.col("cluster") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
 def dup_clusters_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected components in O(log n) rounds: alternating large-star /
     small-star contraction (Kiveris et al. 2014, "Connected Components in
