@@ -76,3 +76,40 @@ def test_validation_pipeline_scan_count(spark):
     )
     p = _physical(manifest)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hash_split_is_pure_projection(spark):
+    from yaschva_spark.ops.split import hash_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _physical(hash_split(docs, "doc_id"))
+    assert "Exchange" not in p and "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_apply_dedup_broadcasts_droplist(spark):
+    from yaschva_spark.ops.dedup import apply_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    clusters = spark.createDataFrame([(5, 1), (1, 1), (9, 9)], "id long, cluster long")
+    p = _physical(apply_dedup(docs, clusters, "doc_id"))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_numeric_profile_single_exchange_no_python(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _physical(checks.numeric_profile(docs, "lang", "n_chars"))
+    assert p.count("Exchange") == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_semdedup_single_shuffle(spark):
+    from yaschva_spark.ops.similarity import semdedup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [[0.0] * 63 + [1.0], [1.0] + [0.0] * 63]
+    p = _physical(semdedup_pairs(emb, centroids=cents))
+    # one hash partition by cluster feeds the per-cell GEMM; no
+    # candidate-pair join exists anywhere in the plan
+    assert p.count("Exchange") == 1, p
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p

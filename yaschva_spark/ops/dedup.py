@@ -448,6 +448,7 @@ def dup_clusters_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .localCheckpoint()
     )
     members = e.select(F.col("u").alias("id")).union(e.select("v")).distinct()
+    n_e = e.count()
     for _ in range(max_iters):
         # large-star over the undirected neighborhood
         und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -472,10 +473,11 @@ def dup_clusters_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        changed = (
-            small.exceptAll(e).limit(1).count() + e.exceptAll(small).limit(1).count()
-        )
-        e = small
+        # fixed-point test: same distinct-edge count AND containment ->
+        # equal sets; unequal counts mean changed without any join job
+        n_small = small.count()
+        changed = 1 if n_small != n_e else small.exceptAll(e).limit(1).count()
+        e, n_e = small, n_small
         if changed == 0:
             break
     else:
