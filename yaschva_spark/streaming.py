@@ -120,6 +120,94 @@ def dedup_stream(
     )
 
 
+def incremental_validation_sink(
+    stream_df: DataFrame,
+    schema: dict,
+    out_dir: str,
+    *,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    content_col: str = "content",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> "StreamingQuery":  # noqa: F821
+    """Continuous-ingest version of ``pipeline.run_validation_job``: each
+    micro-batch is validated with the same compiled schema and lands as
+    appended violation rows plus ONE manifest row per batch carrying the
+    same lineage metrics (row/violation counts, order-insensitive sha256
+    content digest, timestamp) keyed by ``batch_id``.
+
+    Durability contract matches the batch pipeline: within a batch the
+    violations write completes BEFORE the manifest row appears, so a
+    manifest entry always certifies durable violations. Restart safety is
+    two-layered: Spark's ``checkpointLocation`` replays the failed batch
+    with the same batch_id, and the batch function is IDEMPOTENT — a
+    batch_id already present in the manifest is skipped, so the replay
+    can't double-append (violations from a torn first attempt are
+    overwritten by the batch_id-partitioned re-write, not duplicated).
+
+    ``available_now=True`` drains the backlog and stops — the streaming
+    analog of the batch pipeline's resume; False runs continuously.
+    """
+    import os
+
+    viol_path = os.path.join(out_dir, "violations")
+    man_path = os.path.join(out_dir, "manifest")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from yaschva_spark.pipeline import _hadoop_fs
+
+        spark = batch_df.sparkSession
+        fs, man_jpath, _ = _hadoop_fs(spark, man_path)
+        seen = 0
+        if fs.exists(man_jpath):  # existence probe: no read-and-catch noise
+            seen = (
+                spark.read.parquet(man_path)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+        if seen:
+            return  # checkpoint replay of a fully-committed batch
+        validated = validate_table(batch_df, schema)
+        viol = validated.select(
+            F.lit(batch_id).alias("batch_id"),
+            *[F.col(c) for c in id_cols],
+            F.explode(VIOLATIONS_COL).alias("v"),
+        ).select(
+            "batch_id", *id_cols, "v.path", "v.rule", "v.error", "v.value"
+        ).toDF("batch_id", *id_cols, "field_path", "rule", "error", "value")
+        # partitioned by batch_id: a torn first attempt is REPLACED by the
+        # replay (dynamic partition overwrite), never duplicated
+        (
+            viol.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(viol_path)
+        )
+        manifest = (
+            validated.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((~F.col(PASS_COL)).cast("long")).alias("n_invalid_rows"),
+                F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
+                F.bit_xor(
+                    F.conv(
+                        F.substring(F.sha2(F.col(content_col), 256), 1, 15), 16, 10
+                    ).cast("long")
+                ).alias("content_digest"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .withColumn("processed_at", F.current_timestamp())
+        )
+        manifest.write.mode("append").parquet(man_path)
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint or f"{out_dir}/_checkpoint"
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_drift_chi2(
     df: DataFrame,
     ts_col: str,
