@@ -296,6 +296,26 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return similarity.ann_ivf_topk(emb, queries_df, k=3, centroids=_ivf_centroids(sf_dir))
 
 
+def _q_asset_features(spark, sf_dir):
+    # multimodal plumbing, driver-certified: an asset table derived from
+    # documents (text bytes as the opaque payload), run through the REAL
+    # Arrow-batched feature stage; the stub features are sha256-derived,
+    # so an independent engine reproduces them exactly (pixel kernels
+    # remain honestly stubbed behind decode_real)
+    from yaschva_spark.ops import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.to_binary(F.col("text"), F.lit("utf-8")).alias("payload"),
+    )
+    return mm.decode_features(assets)
+
+
 def _q_split_counts(spark, sf_dir):
     # deterministic id-hash train/val/test assignment; the oracle is the
     # pure-Python XXH64 replica (yaschva_spark.xxh64) run over the same ids
@@ -396,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_tiled": _q_embedding_near_dup_tiled,
         "semdedup_pairs": _q_semdedup_pairs,
         "split_counts": _q_split_counts,
+        "asset_features": _q_asset_features,
         "token_counts": _q_token_counts,
         "simhash_pairs": _q_simhash_pairs,
         "text_profile": _q_text_profile,
@@ -917,6 +938,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY g.source, g.n_g
         """,
         "numeric_profile_by_lang": _numeric_profile_sql(),
+        # full replication of the multimodal stub-feature algorithm:
+        # width/height/n_frames are bytes 0/1/2 of sha256(payload) (hex
+        # pairs decoded via strpos arithmetic), digest is the hex itself
+        "asset_features": """
+            WITH a AS (
+              SELECT doc_id AS asset_id,
+                     ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+                     coalesce(text, '') AS payload
+              FROM documents),
+            f AS (
+              SELECT asset_id, kind,
+                     octet_length(encode(payload))::BIGINT AS n_bytes,
+                     lower(sha256(payload)) AS hex
+              FROM a),
+            b AS (
+              SELECT *,
+                     (strpos('0123456789abcdef', substr(hex, 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(hex, 2, 1)) - 1) AS d0,
+                     (strpos('0123456789abcdef', substr(hex, 3, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(hex, 4, 1)) - 1) AS d1,
+                     (strpos('0123456789abcdef', substr(hex, 5, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(hex, 6, 1)) - 1) AS d2
+              FROM f)
+            SELECT asset_id, kind, n_bytes,
+                   (16 + d0 * 4)::INT AS width,
+                   (16 + d1 * 4)::INT AS height,
+                   (CASE WHEN kind = 'image' THEN 1 ELSE 1 + d2 END)::INT AS n_frames,
+                   hex AS digest
+            FROM b
+        """,
         "semdedup_pairs": _semdedup_sql(),
         "split_counts": _split_counts_sql(),
         "exact_dup_props": """
