@@ -224,6 +224,17 @@ def _q_dedup_clusters_star(spark, sf_dir):
     return dedup.dup_clusters_star(pairs)
 
 
+def _q_contamination(spark, sf_dir):
+    # decontamination: eval slice (doc_id < 25) probed against the rest
+    from yaschva_spark.ops import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_contamination(
+        docs.filter(F.col("doc_id") >= 25), docs.filter(F.col("doc_id") < 25),
+        "doc_id", "text", n=3,
+    )
+
+
 def _q_dedup_keep(spark, sf_dir):
     # end-to-end dedup decision: pairs -> clusters -> keep canonical + singletons
     from yaschva_spark.ops import dedup
@@ -408,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "dedup_keep": _q_dedup_keep,
+        "eval_contamination": _q_contamination,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -986,6 +998,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep": f"""
             SELECT doc_id, lang FROM documents
             WHERE doc_id NOT IN (SELECT id FROM ({_CLUSTERS_SQL}) WHERE cluster != id)
+        """,
+        "eval_contamination": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sh AS (SELECT doc_id,
+                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    for i in range(1, len(ws) - 1)]) AS sg
+                   FROM t WHERE len(ws) >= 3),
+            tr AS (SELECT DISTINCT unnest(sg) AS s FROM sh WHERE doc_id >= 25),
+            ev AS (SELECT doc_id AS id, unnest(sg) AS s FROM sh WHERE doc_id < 25)
+            SELECT ev.id,
+                   count(*)::BIGINT AS n_shingles,
+                   sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_contaminated,
+                   round(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 6) AS contamination_rate
+            FROM ev LEFT JOIN tr ON ev.s = tr.s
+            GROUP BY ev.id
         """,
         "embedding_near_dup": _NEAR_DUP_SQL,
         # the LSH operator's planner (ops.similarity.lsh_near_dup_params)

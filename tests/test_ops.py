@@ -540,3 +540,24 @@ def test_apply_dedup_keeps_canonicals_and_singletons(spark, docs):
     for c in set(cl.values()):
         assert c in kept_ids
     assert len(cl) > 0
+
+
+def test_ngram_contamination_planted(spark):
+    train = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "entirely different training material here today")],
+        "id long, t string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "the quick brown fox appears verbatim"),   # leading 3-grams overlap
+         (2, "no overlap with anything in training"),
+         (3, "ab cd")],                                  # too short for 3-grams
+        "id long, t string",
+    )
+    got = {r["id"]: r for r in dedup.ngram_contamination(train, ev, "id", "t").collect()}
+    assert 3 not in got
+    assert got[2]["n_contaminated"] == 0 and got[2]["contamination_rate"] == 0.0
+    # doc 1: 4 distinct 3-grams, 2 of which ("the quick brown", "quick brown fox")
+    # appear in train
+    assert got[1]["n_shingles"] == 4 and got[1]["n_contaminated"] == 2
+    assert got[1]["contamination_rate"] == 0.5

@@ -400,6 +400,48 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(F.col("a").alias("id"), F.col("label").alias("cluster"))
 
 
+def ngram_contamination(
+    train: DataFrame, eval_df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: for each eval document, the fraction of
+    its distinct word n-grams appearing ANYWHERE in the training corpus —
+    ``(id, n_shingles, n_contaminated, contamination_rate)``. The standard
+    train/test-overlap check an LLM data pipeline runs before training.
+
+    Scale shape: the training side collapses to its DISTINCT shingle set
+    (one hash agg — no doc identity survives), and the membership probe is
+    a join keyed on the shingle string: shuffle ∝ distinct shingles, never
+    doc x doc. At 10^12 rows the distinct-shingle table is the large
+    object — bucket both sides by shingle hash and the probe co-locates;
+    the per-eval-doc aggregation is map-side combinable. Eval documents
+    shorter than n words have no shingles and are not reported."""
+    tr = (
+        shingles(train, id_col, text_col, n)
+        .select(F.explode("shingle_set").alias("sh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ev = shingles(eval_df, id_col, text_col, n).select(
+        "id", F.explode("shingle_set").alias("sh")
+    )
+    return (
+        ev.join(tr, "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_contaminated"),
+        )
+        .select(
+            "id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
 def apply_dedup(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:
     """Materialize a dedup decision: keep exactly the canonical row
     (``cluster == id``) of every duplicate group, plus all singletons.
