@@ -246,10 +246,43 @@ def test_incremental_sink_replay_is_idempotent(spark, tmp_path):
     q.awaitTermination()
     n_man = spark.read.parquet(str(out / "manifest")).count()
     n_viol = spark.read.parquet(str(out / "violations")).count()
-    # a second drain over the SAME checkpoint replays nothing; and even a
-    # forced replay of batch 0 is skipped by the manifest guard
+    # a second drain over the SAME checkpoint replays nothing
     stream2 = streaming.read_stream(spark, str(src), code.schema)
     q2 = streaming.incremental_validation_sink(stream2, CODE_SCHEMA, str(out))
     q2.awaitTermination()
     assert spark.read.parquet(str(out / "manifest")).count() == n_man
     assert spark.read.parquet(str(out / "violations")).count() == n_viol
+    # FORCED replay of a committed batch (the guard itself, called
+    # directly): same stream id -> skipped, nothing appended
+    same = streaming.make_batch_validator(
+        CODE_SCHEMA, str(out), stream_id=str(out / "_checkpoint")
+    )
+    same(code, 0)
+    assert spark.read.parquet(str(out / "manifest")).count() == n_man
+    assert spark.read.parquet(str(out / "violations")).count() == n_viol
+    # a DIFFERENT checkpoint colliding on a committed batch_id must fail
+    # loudly, not silently drop the batch
+    other = streaming.make_batch_validator(CODE_SCHEMA, str(out), stream_id="elsewhere")
+    with pytest.raises(RuntimeError, match="diverged"):
+        other(code, 0)
+
+
+def test_incremental_sink_clean_stream_leaves_readable_violations(spark, tmp_path):
+    from yaschva_spark.fixtures import code_files
+
+    src = tmp_path / "clean_src"
+    src.mkdir()
+    # a schema everything passes: no violation rows at all
+    code = code_files(spark, 300, seed=23)
+    code.coalesce(1).write.mode("append").parquet(str(src))
+    out = tmp_path / "clean_out"
+    q = streaming.incremental_validation_sink(
+        streaming.read_stream(spark, str(src), code.schema),
+        {"repo": "any", "path": "any", "commit": "any", "lang": "any", "content": "any"},
+        str(out),
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(str(out / "manifest")).count() >= 1
+    viol = spark.read.parquet(str(out / "violations"))  # must not throw
+    assert viol.count() == 0
+    assert "rule" in viol.columns and "field_path" in viol.columns

@@ -442,7 +442,9 @@ def ngram_contamination(
     )
 
 
-def apply_dedup(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:
+def apply_dedup(
+    df: DataFrame, clusters: DataFrame, id_col: str, broadcast: bool = True
+) -> DataFrame:
     """Materialize a dedup decision: keep exactly the canonical row
     (``cluster == id``) of every duplicate group, plus all singletons.
 
@@ -450,13 +452,16 @@ def apply_dedup(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:
     :func:`dup_clusters_star` — it contains ONLY ids that appeared in a
     near-dup pair, a vanishing fraction of the corpus, so the drop-list
     broadcasts and the apply is a map-side anti-probe over one scan: no
-    shuffle of the corpus, ever. (If a corpus were mostly duplicates the
-    drop-list outgrows the broadcast bound — drop the explicit broadcast
-    and let AQE pick the shuffle join; the semantics don't change.)"""
+    shuffle of the corpus, ever. For a corpus that is MOSTLY duplicates
+    the drop-list outgrows the broadcast bound — pass
+    ``broadcast=False`` and AQE picks the join strategy from the actual
+    size; the semantics don't change."""
     drop = clusters.filter(F.col("cluster") != F.col("id")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    if broadcast:
+        drop = F.broadcast(drop)
+    return df.join(drop, id_col, "left_anti")
 
 
 def dup_clusters_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:

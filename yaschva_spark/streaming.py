@@ -120,6 +120,138 @@ def dedup_stream(
     )
 
 
+def _write_empty_parquet(spark: SparkSession, df_schema, dest_file: str) -> None:
+    """Write a schema-bearing 0-row parquet file at ``dest_file`` through
+    the Hadoop FileSystem API (any scheme). Spark itself skips file
+    creation for empty tasks, so an all-clean stream would otherwise leave
+    a violations path that ``spark.read.parquet`` can't infer a schema
+    from."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from yaschva_spark.pipeline import _hadoop_fs
+
+    buf = io.BytesIO()
+    arrow = to_arrow_schema(df_schema)
+    pq.write_table(arrow.empty_table(), buf)
+    fs, jpath, _ = _hadoop_fs(spark, dest_file)
+    out = fs.create(jpath, True)
+    out.write(bytearray(buf.getvalue()))
+    out.close()
+
+
+def _dir_has_parquet(fs, jpath) -> bool:
+    if not fs.exists(jpath):
+        return False
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("batch_id="):
+            for leaf in fs.listStatus(status.getPath()):
+                if leaf.getPath().getName().endswith(".parquet"):
+                    return True
+    return False
+
+
+def make_batch_validator(
+    schema: dict,
+    out_dir: str,
+    *,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    content_col: str = "content",
+    stream_id: str = "",
+):
+    """The ``foreachBatch`` function behind
+    :func:`incremental_validation_sink`, exposed so the replay guard is
+    directly testable. See that function for the durability contract."""
+    import os
+
+    viol_path = os.path.join(out_dir, "violations")
+    man_path = os.path.join(out_dir, "manifest")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from yaschva_spark.pipeline import _hadoop_fs
+
+        spark = batch_df.sparkSession
+        # O(1) replay guard: the manifest is partitioned by batch_id, so
+        # the probe touches ONE partition directory — never the k-batch
+        # manifest scan that would creep quadratically on a long stream.
+        part_dir = os.path.join(man_path, f"batch_id={batch_id}")
+        fs, part_jpath, _ = _hadoop_fs(spark, part_dir)
+        if fs.exists(part_jpath):
+            try:
+                committed = spark.read.parquet(part_dir).collect()
+            except Exception:
+                committed = []  # torn dir (no readable footer): not committed
+            if committed:
+                if all(r["stream_id"] == stream_id for r in committed):
+                    return  # checkpoint replay of a fully-committed batch
+                # batch_id collision from a DIFFERENT checkpoint: a reset
+                # checkpoint restarted numbering against an out_dir that
+                # already holds data — skipping would silently drop the
+                # new batch, so fail loudly instead
+                raise RuntimeError(
+                    f"incremental sink: manifest already holds batch_id "
+                    f"{batch_id} from stream {committed[0]['stream_id']!r} "
+                    f"but this query is stream {stream_id!r}. The "
+                    "checkpoint and out_dir have diverged (checkpoint "
+                    "deleted/moved?): restore the original checkpoint or "
+                    "use a fresh out_dir."
+                )
+        validated = validate_table(batch_df, schema)
+        viol = validated.select(
+            F.lit(batch_id).alias("batch_id"),
+            *[F.col(c) for c in id_cols],
+            F.explode(VIOLATIONS_COL).alias("v"),
+        ).select(
+            "batch_id", *id_cols, "v.path", "v.rule", "v.error", "v.value"
+        ).toDF("batch_id", *id_cols, "field_path", "rule", "error", "value")
+        # partitioned by batch_id: a torn first attempt is REPLACED by the
+        # replay (dynamic partition overwrite), never duplicated
+        (
+            viol.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(viol_path)
+        )
+        # an all-clean stream writes no violation files at all; seed one
+        # schema-bearing empty partition so the documented contract —
+        # "a manifest row certifies readable violations" — holds for
+        # consumers doing spark.read.parquet(viol_path)
+        vfs, vroot, _ = _hadoop_fs(spark, viol_path)
+        if not _dir_has_parquet(vfs, vroot):
+            _write_empty_parquet(
+                spark,
+                viol.drop("batch_id").schema,
+                os.path.join(viol_path, "batch_id=-1", "part-00000-init.parquet"),
+            )
+        manifest = (
+            validated.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((~F.col(PASS_COL)).cast("long")).alias("n_invalid_rows"),
+                F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
+                F.bit_xor(
+                    F.conv(
+                        F.substring(F.sha2(F.col(content_col), 256), 1, 15), 16, 10
+                    ).cast("long")
+                ).alias("content_digest"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .withColumn("stream_id", F.lit(stream_id))
+            .withColumn("processed_at", F.current_timestamp())
+        )
+        (
+            manifest.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(man_path)
+        )
+
+    return process_batch
+
+
 def incremental_validation_sink(
     stream_df: DataFrame,
     schema: dict,
@@ -138,71 +270,26 @@ def incremental_validation_sink(
 
     Durability contract matches the batch pipeline: within a batch the
     violations write completes BEFORE the manifest row appears, so a
-    manifest entry always certifies durable violations. Restart safety is
-    two-layered: Spark's ``checkpointLocation`` replays the failed batch
-    with the same batch_id, and the batch function is IDEMPOTENT — a
-    batch_id already present in the manifest is skipped, so the replay
-    can't double-append (violations from a torn first attempt are
-    overwritten by the batch_id-partitioned re-write, not duplicated).
+    manifest entry always certifies durable, readable violations (an
+    all-clean stream still leaves a schema-bearing empty file). Restart
+    safety is two-layered: Spark's ``checkpointLocation`` replays the
+    failed batch with the same batch_id, and the batch function is
+    IDEMPOTENT — a batch_id already committed BY THIS STREAM (manifest
+    rows carry a stream identity derived from the checkpoint location) is
+    skipped, a torn first attempt is overwritten partition-wise, and a
+    batch_id collision from a different checkpoint raises instead of
+    silently dropping data. Both manifest and violations are partitioned
+    by batch_id, so the replay probe reads one partition — O(1) per
+    batch, not a scan of the ever-growing manifest.
 
     ``available_now=True`` drains the backlog and stops — the streaming
     analog of the batch pipeline's resume; False runs continuously.
     """
-    import os
-
-    viol_path = os.path.join(out_dir, "violations")
-    man_path = os.path.join(out_dir, "manifest")
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from yaschva_spark.pipeline import _hadoop_fs
-
-        spark = batch_df.sparkSession
-        fs, man_jpath, _ = _hadoop_fs(spark, man_path)
-        seen = 0
-        if fs.exists(man_jpath):  # existence probe: no read-and-catch noise
-            seen = (
-                spark.read.parquet(man_path)
-                .filter(F.col("batch_id") == batch_id)
-                .limit(1)
-                .count()
-            )
-        if seen:
-            return  # checkpoint replay of a fully-committed batch
-        validated = validate_table(batch_df, schema)
-        viol = validated.select(
-            F.lit(batch_id).alias("batch_id"),
-            *[F.col(c) for c in id_cols],
-            F.explode(VIOLATIONS_COL).alias("v"),
-        ).select(
-            "batch_id", *id_cols, "v.path", "v.rule", "v.error", "v.value"
-        ).toDF("batch_id", *id_cols, "field_path", "rule", "error", "value")
-        # partitioned by batch_id: a torn first attempt is REPLACED by the
-        # replay (dynamic partition overwrite), never duplicated
-        (
-            viol.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(viol_path)
-        )
-        manifest = (
-            validated.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum((~F.col(PASS_COL)).cast("long")).alias("n_invalid_rows"),
-                F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
-                F.bit_xor(
-                    F.conv(
-                        F.substring(F.sha2(F.col(content_col), 256), 1, 15), 16, 10
-                    ).cast("long")
-                ).alias("content_digest"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .withColumn("processed_at", F.current_timestamp())
-        )
-        manifest.write.mode("append").parquet(man_path)
-
-    writer = stream_df.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint or f"{out_dir}/_checkpoint"
+    cp = checkpoint or f"{out_dir}/_checkpoint"
+    fn = make_batch_validator(
+        schema, out_dir, id_cols=id_cols, content_col=content_col, stream_id=cp
     )
+    writer = stream_df.writeStream.foreachBatch(fn).option("checkpointLocation", cp)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
