@@ -375,6 +375,12 @@ def _q_lang_id(spark, sf_dir):
     return text.lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_gopher_rules(spark, sf_dir):
+    from yaschva_spark.ops import text
+
+    return text.gopher_rules(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from yaschva_spark.ops import text
 
@@ -434,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "lang_id_heuristic": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "gopher_rules": _q_gopher_rules,
         "simhash_fingerprints": _q_simhash,
         "ks_drift_by_lang": _q_ks_drift,
     }
@@ -998,6 +1005,48 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep": f"""
             SELECT doc_id, lang FROM documents
             WHERE doc_id NOT IN (SELECT id FROM ({_CLUSTERS_SQL}) WHERE cluster != id)
+        """,
+        "gopher_rules": """
+            WITH b AS (
+              SELECT doc_id AS id, text,
+                     len(string_split(text, ' ')) AS n_words,
+                     length(text) AS n_chars,
+                     string_split(text, ' ') AS ws,
+                     string_split(text, chr(10)) AS lines
+              FROM documents),
+            m AS (
+              SELECT id, n_words,
+                     (n_chars - (n_words - 1)) / n_words::DOUBLE AS mean_wl,
+                     ((n_chars - length(replace(text, '#', '')))
+                      + (n_chars - length(replace(text, '...', ''))) / 3)
+                       / greatest(n_words, 1)::DOUBLE AS symbol_ratio,
+                     len(list_filter(lines, l -> starts_with(l, '- ')
+                                             OR starts_with(l, '* ')
+                                             OR starts_with(l, '•')))
+                       / greatest(len(lines), 1)::DOUBLE AS bullet_ratio,
+                     len(list_filter(lines, l -> ends_with(l, '...')))
+                       / greatest(len(lines), 1)::DOUBLE AS ellipsis_ratio,
+                     len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                       / greatest(n_words, 1)::DOUBLE AS alpha_word_ratio
+              FROM b)
+            SELECT id, n_words,
+                   round(mean_wl, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_ratio,
+                   round(bullet_ratio, 6) AS bullet_ratio,
+                   round(ellipsis_ratio, 6) AS ellipsis_ratio,
+                   round(alpha_word_ratio, 6) AS alpha_word_ratio,
+                   (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+                   (mean_wl >= 3.0 AND mean_wl <= 10.0) AS flag_mean_word_len,
+                   (symbol_ratio <= 0.1) AS flag_symbol_ratio,
+                   (bullet_ratio <= 0.9) AS flag_bullet_ratio,
+                   (ellipsis_ratio <= 0.3) AS flag_ellipsis_ratio,
+                   (alpha_word_ratio >= 0.8) AS flag_alpha_words,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+                    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+                    AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8)
+                     AS pass_gopher
+            FROM m
         """,
         "eval_contamination": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -561,3 +561,21 @@ def test_ngram_contamination_planted(spark):
     # appear in train
     assert got[1]["n_shingles"] == 4 and got[1]["n_contaminated"] == 2
     assert got[1]["contamination_rate"] == 0.5
+
+
+def test_gopher_rules_flags(spark):
+    long_ok = " ".join(["word"] * 60)
+    df = spark.createDataFrame(
+        [
+            (1, long_ok),                               # passes everything
+            (2, "short doc"),                           # word-count fail
+            (3, " ".join(["###"] * 60)),                # symbol + alpha fail
+            (4, "\n".join(["- item " + "w " * 30] * 5)),  # all-bullet fail
+        ],
+        "id long, t string",
+    )
+    got = {r["id"]: r for r in text.gopher_rules(df, "id", "t").collect()}
+    assert got[1]["pass_gopher"] and got[1]["flag_word_count"]
+    assert not got[2]["flag_word_count"] and not got[2]["pass_gopher"]
+    assert not got[3]["flag_symbol_ratio"] and not got[3]["flag_alpha_words"]
+    assert not got[4]["flag_bullet_ratio"] and got[4]["bullet_ratio"] == 1.0

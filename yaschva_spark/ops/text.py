@@ -97,6 +97,83 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+) -> DataFrame:
+    """Gopher-style quality filter flags (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): the standard per-document repetition/format
+    heuristics an LLM data pipeline applies before training, as one pure
+    Catalyst projection — (id, metrics..., flag_*, pass_gopher).
+
+    Rules: word count within [min_words, max_words]; mean word length
+    within [min, max]; symbol-to-word ratio ('#' chars + '...' runs per
+    word) below the cap; fraction of lines starting with a bullet below
+    the cap; fraction of lines ending in an ellipsis below the cap;
+    fraction of words containing an alphabetic character above the floor.
+    Flags are per-rule so a pipeline can tune/ablate; ``pass_gopher`` is
+    their conjunction. Shuffle-free and exactly reproducible in ANSI SQL.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    mean_wl = (n_chars - (n_words - 1)) / n_words
+    n_hash = n_chars - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        n_chars - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("•"),
+        )
+    )
+    ellipsis_end = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    bullet_ratio = bullet / F.greatest(n_lines, F.lit(1))
+    ellipsis_ratio = ellipsis_end / F.greatest(n_lines, F.lit(1))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_word_ratio = alpha_words / F.greatest(n_words, F.lit(1))
+
+    flag_words = (n_words >= min_words) & (n_words <= max_words)
+    flag_mean_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    flag_symbol = symbol_ratio <= max_symbol_ratio
+    flag_bullet = bullet_ratio <= max_bullet_ratio
+    flag_ellipsis = ellipsis_ratio <= max_ellipsis_ratio
+    flag_alpha = alpha_word_ratio >= min_alpha_word_ratio
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_word_ratio, 6).alias("alpha_word_ratio"),
+        flag_words.alias("flag_word_count"),
+        flag_mean_wl.alias("flag_mean_word_len"),
+        flag_symbol.alias("flag_symbol_ratio"),
+        flag_bullet.alias("flag_bullet_ratio"),
+        flag_ellipsis.alias("flag_ellipsis_ratio"),
+        flag_alpha.alias("flag_alpha_words"),
+        (
+            flag_words & flag_mean_wl & flag_symbol
+            & flag_bullet & flag_ellipsis & flag_alpha
+        ).alias("pass_gopher"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Position-weighted rolling document fingerprint:
     sum_i (i+1) * length(word_i) mod 1e9+7 — order-sensitive (re-ordered
