@@ -180,3 +180,38 @@ def test_numeric_profile_exact_quantiles(spark):
     assert by[("b", 0.5)]["quantile_value"] == 10.0 and by[("b", 0.5)]["stddev_value"] is None
     # all-NULL group explodes to zero rows (matches SQL unnest(NULL))
     assert not [k for k in by if k[0] == "n"]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_drift_psi_fold_matches_dense_grid_fuzz(spark, seed):
+    # the algebraic absent-cell fold must equal the dense-grid formula on
+    # random sparse contingency tables (incl. groups missing many cats)
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(seed)
+    groups = [f"g{i}" for i in range(rng.randint(2, 5))]
+    cats = [f"c{i}" for i in range(rng.randint(2, 8))]
+    rows = []
+    for g in groups:
+        for c in cats:
+            if rng.random() < 0.6:  # sparse: many absent cells
+                rows.extend([(g, c)] * rng.randint(1, 30))
+    if not rows:
+        rows = [(groups[0], cats[0])]
+    df = spark.createDataFrame(rows, "g string, c string")
+    eps = 1e-6
+    got = {r["g"]: r["psi"] for r in checks.drift_psi(df, "g", "c", eps=eps).collect()}
+    obs = Counter(rows)
+    n_g = Counter(g for g, _ in rows)
+    n_c = Counter(c for _, c in rows)
+    present_cats = set(n_c)
+    n = len(rows)
+    for g in n_g:
+        want = sum(
+            (max(obs.get((g, c), 0) / n_g[g], eps) - max(n_c[c] / n, eps))
+            * math.log(max(obs.get((g, c), 0) / n_g[g], eps) / max(n_c[c] / n, eps))
+            for c in present_cats
+        )
+        assert got[g] == pytest.approx(want, abs=1e-5), (seed, g)

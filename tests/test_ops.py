@@ -579,3 +579,36 @@ def test_gopher_rules_flags(spark):
     assert not got[2]["flag_word_count"] and not got[2]["pass_gopher"]
     assert not got[3]["flag_symbol_ratio"] and not got[3]["flag_alpha_words"]
     assert not got[4]["flag_bullet_ratio"] and got[4]["bullet_ratio"] == 1.0
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14])
+def test_dup_clusters_star_fuzz_vs_union_find(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    n_nodes = rng.randint(20, 120)
+    n_edges = rng.randint(10, 180)
+    edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    if not edges:
+        edges = [(0, 1)]
+    pairs = spark.createDataFrame(edges, "i long, j long")
+    got = {r["id"]: r["cluster"] for r in dedup.dup_clusters_star(pairs).collect()}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        want[a] = find(a)
+        want[b] = find(b)
+    assert got == want, seed
