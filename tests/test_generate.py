@@ -277,3 +277,17 @@ def test_generate_table_roundtrip_and_determinism(spark):
 
     sample = {r[0]: r[1] for r in a}
     assert json.loads(sample[5]) == generate(schema, seed=9 + 5)
+
+
+def test_regex_sample_named_group_roundtrip():
+    import random
+    import re
+
+    from yaschva_spark.genregex import regex_sample
+    from yaschva_spark.regexdialect import to_python_pattern
+
+    pattern = r"^(?<year>\d{4})-(?<m>[0-1]\d)$"
+    rx = re.compile(to_python_pattern(pattern))
+    for seed in range(20):
+        s = regex_sample(pattern, random.Random(seed))
+        assert rx.search(s), (seed, s)

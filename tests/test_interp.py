@@ -54,3 +54,21 @@ def test_violation_rows_union_branches_same_path():
 def test_pass_has_no_violation_rows():
     result = validate({"a": "number"}, {"a": 1.5})
     assert violations_from_output(result["output"]) == []
+
+
+def test_violation_paths_survive_array_flattening():
+    # the reference output flat()tens nested array outputs (validate.ts:118)
+    # which would shift [i] segments; the vtree keeps original positions
+    schema = {"$array": [{"$array": "integer"}, "integer"]}
+    res = validate(schema, [[1, 2, 3], "x"])
+    assert res["result"] == "fail"
+    rows = violations_from_output(res["vtree"])
+    paths = {r["path"] for r in rows}
+    assert any(p.startswith("$[1]") for p in paths), paths
+    assert not any(p.startswith("$[3]") for p in paths), paths
+    # nested failure: [[1, "x"]] must report $[0][1], not $[1]
+    res2 = validate({"$array": {"$array": "integer"}}, [[1, "x"]])
+    rows2 = violations_from_output(res2["vtree"])
+    assert {r["path"] for r in rows2} == {"$[0][1]"}, rows2
+    # reference-exact output is unchanged (still flattened)
+    assert isinstance(res2["output"], list) and len(res2["output"]) == 2

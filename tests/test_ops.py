@@ -612,3 +612,24 @@ def test_dup_clusters_star_fuzz_vs_union_find(spark, seed):
         want[a] = find(a)
         want[b] = find(b)
     assert got == want, seed
+
+
+def test_simhash_pairs_exact_recall_for_any_bound(spark, docs):
+    # pigeonhole banding must find EVERY pair within the bound — including
+    # hammings 4..6+ that the old fixed 4x16 layout silently missed
+    fps = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    ids = sorted(fps)
+    for mh in (3, 6, 12):
+        got = {
+            (r["i"], r["j"]): r["hamming"]
+            for r in dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=mh).collect()
+        }
+        want = {}
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                h = bin((fps[ids[x]] ^ fps[ids[y]]) & (2**64 - 1)).count("1")
+                if h <= mh:
+                    want[(ids[x], ids[y])] = h
+        assert got == want, mh
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=64)

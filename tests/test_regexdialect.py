@@ -68,3 +68,48 @@ def test_map_key_ecma_regex_routes(spark):
     df = df.withColumn("m", F.create_map(F.lit("a"), F.lit("v")))
     with pytest.raises(TypedCompileError):
         validate_table(df.select("m"), schema)
+
+
+def test_whitespace_class_routes_off_java_path():
+    assert typed_unsafe(r"^\S+$")
+    assert typed_unsafe(r"a\sb")
+    # ECMA \w/\d/\b are ASCII — Java agrees, so these stay on the typed path
+    assert not typed_unsafe(r"^\w+\d\b$")
+
+
+def test_python_respelling_pins_ecma_semantics():
+    import re
+
+    # \w is ASCII in ECMA: Unicode letters must NOT match
+    assert re.fullmatch(to_python_pattern(r"\w+"), "abc_9")
+    assert not re.fullmatch(to_python_pattern(r"\w+"), "é")
+    # \s is the exact ECMA set: NBSP in, Python-only \x1c out
+    assert re.search(to_python_pattern(r"\s"), " ")
+    assert not re.search(to_python_pattern(r"\s"), "\x1c")
+    assert not re.search(to_python_pattern(r"\S"), " \t ")
+    # . excludes \r and   like ECMA (Python's dot only excludes \n)
+    assert not re.fullmatch(to_python_pattern(r"^.$"), "\r")
+    assert not re.fullmatch(to_python_pattern(r"^.$"), " ")
+    assert re.fullmatch(to_python_pattern(r"^.$"), "x")
+    # \b is the ASCII word boundary: 'a|é' IS a boundary in ECMA
+    assert re.search(to_python_pattern(r"a\b"), "aé")
+    assert not re.search(r"a\b", "aé")  # Python's own \b disagrees
+    # in-class \s expands to the set body
+    assert re.fullmatch(to_python_pattern(r"[\sx]+"), " x ")
+
+
+def test_hybrid_paths_agree_on_nbsp(spark):
+    from yaschva_spark.engine import validate_json_table
+
+    # Java \S wrongly treats NBSP as non-whitespace; the guard must route
+    # this schema off the typed/screen path so both executions agree
+    schema = {"x": {"$string": {"regex": "^\\S+$"}}}
+    df = spark.createDataFrame(
+        [(1, '{"x": " "}'), (2, '{"x": "ok"}')], "id long, js string"
+    )
+    a = {r["id"]: r["yv_valid"]
+         for r in validate_json_table(df, schema, "js", screen=True).collect()}
+    b = {r["id"]: r["yv_valid"]
+         for r in validate_json_table(df, schema, "js", screen=False).collect()}
+    assert a == b
+    assert a[1] is False and a[2] is True  # NBSP is ECMA whitespace

@@ -189,3 +189,45 @@ def test_whole_stage_codegen_plan(spark):
     plan = validated._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # validation is shuffle-free
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decimal_integer_integrality(spark):
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(1, Decimal("1.50")), (2, Decimal("2.00")), (3, None)],
+        "id long, x decimal(10,2)",
+    )
+    out = validate_table(df, {"id": "integer", "x": "integer"})
+    got = {r["id"]: r["yv_valid"] for r in out.collect()}
+    # 1.50 is NOT an integer; 2.00 is; NULL (undefined) is not
+    assert got == {1: False, 2: True, 3: False}
+
+
+def test_root_column_with_dot_in_name(spark):
+    df = spark.createDataFrame([("a", 1), (None, 2)], "`user.name` string, n long")
+    out = validate_table(df, {"user.name": "string", "n": "integer"})
+    got = {r["n"]: r["yv_valid"] for r in out.collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_astral_string_length_is_utf16(spark):
+    import json
+
+    from yaschva_spark.engine import validate_json_table
+    from yaschva_spark.interp import validate as iv
+
+    # one emoji = 2 UTF-16 code units (JS .length): maxLength 1 fails it
+    schema = {"id": "integer", "x": {"$string": {"minLength": 1, "maxLength": 1}}}
+    assert iv(schema, {"id": 1, "x": "\U0001F600"})["result"] == "fail"
+    assert iv(schema, {"id": 1, "x": "a"})["result"] == "pass"
+    df = spark.createDataFrame([(1, "\U0001F600"), (2, "a")], "id long, x string")
+    got = {r["id"]: r["yv_valid"] for r in validate_table(df, schema).collect()}
+    assert got == {1: False, 2: True}
+    # and minLength 2 PASSES the single emoji — on both hybrid paths
+    schema2 = {"x": {"$string": {"minLength": 2}}}
+    row = json.dumps({"x": "\U0001F600"}, ensure_ascii=False)
+    df2 = spark.createDataFrame([(1, row)], "id long, js string")
+    a = validate_json_table(df2, schema2, "js", screen=True).collect()[0]["yv_valid"]
+    b = validate_json_table(df2, schema2, "js", screen=False).collect()[0]["yv_valid"]
+    assert a is True and b is True

@@ -453,5 +453,8 @@ def drift_ks(
             {group_col: [pdf[group_col].iloc[0]], "n_rows": [len(pdf)], "ks_stat": [stat]}
         )
 
-    out_schema = f"{group_col} string, n_rows long, ks_stat double"
+    # carry the group column's REAL dtype — an int group col under a
+    # hardcoded 'string' field fails the Arrow batch conversion
+    g_type = df.schema[group_col].dataType.simpleString()
+    out_schema = f"{group_col} {g_type}, n_rows long, ks_stat double"
     return df.select(group_col, num_col).groupBy(group_col).applyInPandas(ks, out_schema)

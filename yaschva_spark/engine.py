@@ -176,7 +176,10 @@ def validate_json_table(
                 result = interp_validate(node, value)
                 ok = result["result"] == "pass"
                 valid[idx] = ok
-                rows = violations_from_output(result["output"])
+                # derive paths from the UNflattened tree: the reference's
+                # output flat()tens nested array outputs, which would shift
+                # every [i] segment after a nested-array element
+                rows = violations_from_output(result.get("vtree", result["output"]))
                 viols[idx] = [
                     {"path": r["path"], "rule": r["rule"], "error": r["error"], "value": r["value"]}
                     for r in rows

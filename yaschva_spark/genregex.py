@@ -63,10 +63,19 @@ class _Parser:
     def parse_atom(self):
         ch = self.next()
         if ch == "(":
-            if self.peek() == "?":  # (?: (?= (?! — treat group prefix as non-capturing
+            if self.peek() == "?":  # (?: (?= (?! (?<name> — strip the prefix
                 self.next()
                 if self.peek() in (":", "=", "!"):
                     self.next()
+                elif self.peek() == "<":
+                    self.next()
+                    if self.peek() in ("=", "!"):  # lookbehind
+                        self.next()
+                    else:  # named group (?<name>...): consume through '>'
+                        while self.peek() is not None and self.peek() != ">":
+                            self.next()
+                        if self.peek() == ">":
+                            self.next()
             alts = self.parse_alternation()
             if self.peek() == ")":
                 self.next()

@@ -158,6 +158,12 @@ def _v_string(value: Any, enums: list[str] | None = None) -> str | None:
     return None
 
 
+def _js_strlen(s: str) -> int:
+    """JS ``String.prototype.length`` counts UTF-16 code units: astral
+    characters (> U+FFFF) count 2, unlike Python's code-point ``len``."""
+    return sum(2 if ord(ch) > 0xFFFF else 1 for ch in s)
+
+
 def _v_string_object(value: Any, constraints: dict) -> str | None:
     if not isinstance(value, str):
         return E.NOT_STRING
@@ -165,9 +171,9 @@ def _v_string_object(value: Any, constraints: dict) -> str | None:
     max_len = constraints.get("maxLength")
     pattern = constraints.get("regex")
     # JS `minLength && ...`: 0/undefined skip the check (validate.ts:78-79)
-    if not js_falsy(min_len) and len(value) < min_len:
+    if not js_falsy(min_len) and _js_strlen(value) < min_len:
         return E.STR_TOO_SHORT
-    if not js_falsy(max_len) and len(value) > max_len:
+    if not js_falsy(max_len) and _js_strlen(value) > max_len:
         return E.STR_TOO_LONG
     if not js_falsy(pattern) and not _regex(pattern).search(value):
         return E.REGEX_MISMATCH
@@ -214,6 +220,7 @@ def _v_one_of(value: Any, branches: list, validate_fn: Callable) -> dict:
     if not branches:
         raise SchemaError("Array of types can not be empty")
     branch_errors: list = []
+    branch_vtrees: list = []
     for branch in branches:
         result = validate_fn(branch, value)
         if result["result"] == PASS:
@@ -223,7 +230,16 @@ def _v_one_of(value: Any, branches: list, validate_fn: Callable) -> dict:
             branch_errors.extend(out)
         else:
             branch_errors.append(out)
-    return _fail(E.UNION_MISMATCH, value, branch_errors)
+        # vtree keeps each branch's tree UNflattened so a failing-array
+        # branch's element indices survive into violation paths
+        branch_vtrees.append(result.get("vtree", out))
+    failed = _fail(E.UNION_MISMATCH, value, branch_errors)
+    failed["vtree"] = {
+        "error": E.UNION_MISMATCH,
+        "value": value,
+        "output": branch_vtrees,
+    }
+    return failed
 
 
 def _flat1(items: list) -> list:
@@ -249,13 +265,19 @@ def _v_array(value: Any, node: dict, validate_fn: Callable) -> dict:
     if len(value) < min_len or len(value) > max_len:
         return _fail(E.arr_length(min_len, max_len), len(value))
     outputs: list = []
+    vtree: list = []
     failed = False
     for item in value:
         res = validate_fn(node["$array"], item)
         if res["result"] == FAIL:
             failed = True
         outputs.append(res["output"])
-    return {"result": FAIL if failed else PASS, "output": _flat1(outputs)}
+        vtree.append(res.get("vtree", res["output"]))
+    # output is reference-exact (Array.prototype.flat() splices nested
+    # array outputs — validate.ts:118); vtree keeps the UNflattened shape
+    # so violation-row paths index the ORIGINAL element positions (a
+    # flattened list shifts every [i] after a nested-array element)
+    return {"result": FAIL if failed else PASS, "output": _flat1(outputs), "vtree": vtree}
 
 
 def _v_object(value: Any, validator: dict, validate_fn: Callable) -> dict:
@@ -269,16 +291,19 @@ def _v_object(value: Any, validator: dict, validate_fn: Callable) -> dict:
 
     failed = False
     output: dict[str, Any] = {}
+    vtree: dict[str, Any] = {}
     for key, item in obj.items():
         schema_key = escape_key(key)
         if js_falsy(validator.get(schema_key)):
             failed = True
             output[key] = {"error": E.EXTRA_KEY, "value": item}
+            vtree[key] = output[key]
         else:
             res = validate_fn(validator[schema_key], item)
             if res["result"] == FAIL:
                 failed = True
             output[key] = res["output"]
+            vtree[key] = res.get("vtree", res["output"])
 
     for schema_key, sub_schema in validator.items():
         key = schema_key[1:] if schema_key.startswith("\\$") else schema_key
@@ -287,8 +312,9 @@ def _v_object(value: Any, validator: dict, validate_fn: Callable) -> dict:
             if res["result"] == FAIL:
                 failed = True
             output[key] = res["output"]
+            vtree[key] = res.get("vtree", res["output"])
 
-    return {"result": FAIL if failed else PASS, "output": output}
+    return {"result": FAIL if failed else PASS, "output": output, "vtree": vtree}
 
 
 def _v_map(value: Any, node: dict, validate_fn: Callable) -> dict:
@@ -307,17 +333,20 @@ def _v_map(value: Any, node: dict, validate_fn: Callable) -> dict:
 
     failed = False
     output: dict[str, Any] = {}
+    vtree: dict[str, Any] = {}
     pattern = node.get("regex")
     for key, item in obj.items():
         if not js_falsy(pattern) and not _regex(pattern).search(key):
             failed = True
             output[key] = {"error": E.REGEX_MISMATCH, "value": value}
+            vtree[key] = output[key]
             continue
         res = validate_fn(node["$map"], item)
         if res["result"] == FAIL:
             failed = True
         output[key] = res["output"]
-    return {"result": FAIL if failed else PASS, "output": output}
+        vtree[key] = res.get("vtree", res["output"])
+    return {"result": FAIL if failed else PASS, "output": output, "vtree": vtree}
 
 
 # --- main dispatch (validate.ts:210-257) -------------------------------------

@@ -138,10 +138,12 @@ def _screen(node: Any, tv: Column) -> Column:
             spec = node["$string"]
             s = F.try_variant_get(tv, "$", "string")
             cond = _present(tv) & (_vtype(tv) == "STRING")
+            from yaschva_spark.typed import js_strlen  # UTF-16 code units (JS .length)
+
             if not js_falsy(spec.get("minLength")):
-                cond = cond & (F.length(s) >= F.lit(spec["minLength"]))
+                cond = cond & (js_strlen(s) >= F.lit(spec["minLength"]))
             if not js_falsy(spec.get("maxLength")):
-                cond = cond & (F.length(s) <= F.lit(spec["maxLength"]))
+                cond = cond & (js_strlen(s) <= F.lit(spec["maxLength"]))
             pattern = spec.get("regex")
             if not js_falsy(pattern):
                 if typed_unsafe(pattern):

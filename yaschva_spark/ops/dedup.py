@@ -580,29 +580,34 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Banding: 4 chunks of 16 bits — any pair with Hamming <= 3*16/16... by
-    pigeonhole, a pair within max_hamming <= 15 shares at least one exact
-    16-bit chunk out of 4 when max_hamming <= 3; for larger budgets more
-    chunks would be needed. Candidates join on (chunk_idx, chunk_value),
-    then exact popcount verification.
+    Banding sized BY the bound: the 64 bits split into ``max_hamming + 1``
+    near-equal chunks, so by pigeonhole any pair within the bound shares
+    at least one exact chunk — recall is exactly 1.0 for every
+    ``max_hamming`` in [0, 63]. (An earlier fixed 4x16 layout guaranteed
+    this only up to 3 and silently missed qualifying pairs beyond it.)
+    Candidates join on (chunk_idx, chunk_value), then exact popcount
+    verification keeps precision at 1.0. Wider bounds mean more, shorter
+    chunks: candidate volume rises as selectivity per chunk drops — the
+    inherent banding tradeoff, now spelled by the parameter instead of
+    silently breaking the contract.
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_chunks = max_hamming + 1
+    bounds = [c * 64 // n_chunks for c in range(n_chunks + 1)]
     fp = simhash(df, id_col, text_col)
+
+    def chunk_expr(c: int):
+        lo, width = bounds[c], bounds[c + 1] - bounds[c]
+        piece = F.shiftrightunsigned(F.col("simhash"), lo)
+        if width < 64:  # (1<<64)-1 does not fit a long literal
+            piece = piece.bitwiseAND(F.lit((1 << width) - 1))
+        return F.struct(F.lit(c).alias("chunk_idx"), piece.alias("chunk"))
+
     chunks = fp.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cc"),
+        F.explode(F.array(*[chunk_expr(c) for c in range(n_chunks)])).alias("cc"),
     ).select("id", "simhash", "cc.chunk_idx", "cc.chunk")
     a = chunks.alias("a")
     b = chunks.alias("b")

@@ -174,27 +174,31 @@ def ann_lsh_topk(
     (1 - θ/π)^n_planes — too low for weakly-correlated corpora — so L
     independent tables are unioned (recall ≈ 1-(1-p)^L) before one exact
     cosine re-rank of the deduplicated candidates. Candidate-join shuffle is
-    ∝ corpus x n_tables, never O(n^2)."""
+    ∝ corpus x n_tables, never O(n^2) — and it carries IDS ONLY: corpus
+    vectors rejoin per deduplicated candidate (the broadcast query side
+    keeps its vectors, which is free). Replicating each corpus vector
+    n_tables times through the explode+dedup shuffle would multiply the
+    job's largest exchange by tables x vector size."""
     tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     bucketer = _bucket_udf(tables)
 
-    def with_buckets(df: DataFrame, side_id: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(side_id),
-            F.col(vec_col).alias(f"{side_id}_v"),
-            F.posexplode(bucketer(F.col(vec_col))).alias("table_id", "bucket"),
-        )
-
-    c = with_buckets(corpus, "neighbor_id")
-    q = with_buckets(queries, "query_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(bucketer(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.posexplode(bucketer(F.col(vec_col))).alias("table_id", "bucket"),
+    )
     cand = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("sim"),
+    cvecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = cand.join(cvecs, "neighbor_id").select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -467,9 +471,11 @@ def embedding_near_dup_lsh(
             n_planes, n_tables = p_auto, t_auto
     tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     bucketer = _bucket_udf(tables)
+    # ids only through the banded join (CLAUDE.md LSH rule): vectors rejoin
+    # per deduplicated candidate instead of riding n_tables copies through
+    # the explode + pair-dedup shuffles
     bucketed = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         F.posexplode(bucketer(F.col(vec_col))).alias("table_id", "bucket"),
     )
     a = bucketed.alias("a")
@@ -481,12 +487,13 @@ def embedding_near_dup_lsh(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("i"), F.col("b.id").alias("j"),
-            F.col("a.v").alias("iv"), F.col("b.v").alias("jv"),
-        )
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
         .dropDuplicates(["i", "j"])
     )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = cand.join(
+        vecs.withColumnRenamed("id", "i").withColumnRenamed("v", "iv"), "i"
+    ).join(vecs.withColumnRenamed("id", "j").withColumnRenamed("v", "jv"), "j")
     return (
         cand.select("i", "j", cosine(F.col("iv"), F.col("jv")).alias("sim"))
         .filter(F.col("sim") >= threshold)

@@ -78,6 +78,21 @@ class TypedCompileError(Exception):
     the dynamic (mapInPandas interpreter) path."""
 
 
+def js_strlen(expr: Column) -> Column:
+    """JS ``.length`` counts UTF-16 code units; Spark's ``length`` counts
+    code points — add one per astral character (reference strings index in
+    UTF-16, validate.ts string rules)."""
+    return F.length(expr) + F.regexp_count(expr, F.lit("[\\x{10000}-\\x{10FFFF}]"))
+
+
+def _root_col(name: str) -> Column:
+    """Top-level column reference by LITERAL name: a bare ``F.col('a.b')``
+    parses the dot as struct-field access — backtick-quote so a column
+    literally named ``a.b`` resolves (nested levels use getField and are
+    unaffected)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _empty() -> Column:
     return F.expr(f"CAST(array() AS {VIOLATION_DDL})")
 
@@ -215,6 +230,10 @@ class _Compiler:
         cond = expr.isNull()
         if isinstance(dtype, _FRACTIONAL_TYPES):
             cond = cond | F.isnan(expr) | (expr != F.floor(expr))
+        elif isinstance(dtype, T.DecimalType) and dtype.scale > 0:
+            # a decimal with nonzero scale can hold 1.50: integrality must
+            # be checked (no NaN branch — decimals cannot be NaN)
+            cond = cond | (expr != F.floor(expr))
         # JS safe-integer bound applies to longs/decimals too (SURVEY §7.4)
         if not isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType)):
             cond = cond | (F.abs(expr) > F.lit(E.MAX_SAFE_INTEGER))
@@ -268,12 +287,12 @@ class _Compiler:
         # JS falsy constraint values skip the check (validate.ts:78-82)
         if not js_falsy(min_len):
             chain = chain.when(
-                F.length(expr) < F.lit(min_len),
+                js_strlen(expr) < F.lit(min_len),
                 self._const(path, "str_too_short", E.STR_TOO_SHORT, expr),
             )
         if not js_falsy(max_len):
             chain = chain.when(
-                F.length(expr) > F.lit(max_len),
+                js_strlen(expr) > F.lit(max_len),
                 self._const(path, "str_too_long", E.STR_TOO_LONG, expr),
             )
         if not js_falsy(pattern):
@@ -416,7 +435,7 @@ class _Compiler:
             declared.add(data_key)
             sub_path = F.concat(path, F.lit("." + data_key))
             if data_key in field_types:
-                child_expr = expr[data_key] if expr is not None else F.col(data_key)
+                child_expr = expr[data_key] if expr is not None else _root_col(data_key)
                 children.append(
                     self.compile(sub, child_expr, field_types[data_key], sub_path, depth + 1)
                 )
@@ -424,7 +443,7 @@ class _Compiler:
                 children.append(self.compile(sub, None, None, sub_path, depth + 1))
         for name in field_types:
             if name not in declared and name not in ignore:
-                child_expr = expr[name] if expr is not None else F.col(name)
+                child_expr = expr[name] if expr is not None else _root_col(name)
                 children.append(
                     _viol(
                         F.concat(path, F.lit("." + name)),
