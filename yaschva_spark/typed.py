@@ -81,8 +81,14 @@ class TypedCompileError(Exception):
 def js_strlen(expr: Column) -> Column:
     """JS ``.length`` counts UTF-16 code units; Spark's ``length`` counts
     code points — add one per astral character (reference strings index in
-    UTF-16, validate.ts string rules)."""
-    return F.length(expr) + F.regexp_count(expr, F.lit("[\\x{10000}-\\x{10FFFF}]"))
+    UTF-16, validate.ts string rules). Guarded by an ASCII fast path:
+    ``octet_length == length`` proves the string has no multi-byte (hence
+    no astral) characters, so the per-row regex scan runs only on strings
+    that actually contain non-ASCII — for code corpora that is ~never."""
+    n = F.length(expr)
+    return F.when(F.octet_length(expr) == n, n).otherwise(
+        n + F.regexp_count(expr, F.lit("[\\x{10000}-\\x{10FFFF}]"))
+    )
 
 
 def _root_col(name: str) -> Column:
