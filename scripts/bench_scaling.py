@@ -176,16 +176,16 @@ numbers are medians of per-rep ratios. Warmup pair excluded.
 | raw = job_speedup / 4 | **{eff_raw}** |
 | capacity-normalized = job_speedup / capacity_speedup (per-rep) | **{eff_cap}** |
 
-Acceptance (north rule) is ≥ 0.8 going N -> 4N **executors**. This host
-cannot hand a true 4x step to any software between these thread counts —
-fewer busy cores turbo to a higher clock and see more memory bandwidth per
-thread, so even pure whole-stage-codegen JVM arithmetic gains only
-{cpu_speedup}x (= {round(cpu_speedup / 4, 3)} of ideal). On a real cluster the N -> 4N step
-multiplies executors, each bringing its own cores at the same clock, its
-own memory channels, and its own local disk — a true 4x of capacity — so
-the capacity-normalized number (**{eff_cap}**) is the honest stand-in for the
-cluster criterion; raw ({eff_raw}) is bounded by the host's {round(cpu_speedup / 4, 3)} and
-reported for transparency.
+Acceptance (north rule) is ≥ 0.8 going N -> 4N **executors**. The
+pure-CPU probe measures what this host actually hands software across
+the thread step (turbo clocks and memory bandwidth shift with busy core
+count, and the probe itself carries ambient noise): this run's probe
+medianed {cpu_speedup}x (= {round(cpu_speedup / 4, 3)} of ideal). On a real cluster the
+N -> 4N step multiplies executors — each brings its own cores at the
+same clock, its own memory channels, its own local disk — a true 4x of
+capacity, so BOTH views are reported and the acceptance bar is read
+against the more conservative of the two: raw = {eff_raw},
+capacity-normalized = {eff_cap}, min = {min(eff_raw, eff_cap)}.
 
 Why the job tracks the capacity ceiling: the only cross-partition
 exchanges are the uniqueness hash-agg (map-side combined, 128-bit key
