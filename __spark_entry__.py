@@ -1027,7 +1027,9 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(lines, l -> ends_with(l, '...')))
                        / greatest(len(lines), 1)::DOUBLE AS ellipsis_ratio,
                      len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
-                       / greatest(n_words, 1)::DOUBLE AS alpha_word_ratio
+                       / greatest(n_words, 1)::DOUBLE AS alpha_word_ratio,
+                     (len(lines) - len(list_distinct(lines)))
+                       / greatest(len(lines), 1)::DOUBLE AS dup_line_ratio
               FROM b)
             SELECT id, n_words,
                    round(mean_wl, 6) AS mean_word_len,
@@ -1035,16 +1037,19 @@ def oracle_sql() -> dict[str, str]:
                    round(bullet_ratio, 6) AS bullet_ratio,
                    round(ellipsis_ratio, 6) AS ellipsis_ratio,
                    round(alpha_word_ratio, 6) AS alpha_word_ratio,
+                   round(dup_line_ratio, 6) AS dup_line_ratio,
                    (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
                    (mean_wl >= 3.0 AND mean_wl <= 10.0) AS flag_mean_word_len,
                    (symbol_ratio <= 0.1) AS flag_symbol_ratio,
                    (bullet_ratio <= 0.9) AS flag_bullet_ratio,
                    (ellipsis_ratio <= 0.3) AS flag_ellipsis_ratio,
                    (alpha_word_ratio >= 0.8) AS flag_alpha_words,
+                   (dup_line_ratio <= 0.3) AS flag_dup_lines,
                    ((n_words >= 50 AND n_words <= 100000)
                     AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
                     AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
-                    AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8)
+                    AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+                    AND dup_line_ratio <= 0.3)
                      AS pass_gopher
             FROM m
         """,

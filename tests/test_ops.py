@@ -579,6 +579,9 @@ def test_gopher_rules_flags(spark):
     assert not got[2]["flag_word_count"] and not got[2]["pass_gopher"]
     assert not got[3]["flag_symbol_ratio"] and not got[3]["flag_alpha_words"]
     assert not got[4]["flag_bullet_ratio"] and got[4]["bullet_ratio"] == 1.0
+    # 5 identical lines -> 4/5 duplicates: the repetition flag trips
+    assert got[4]["dup_line_ratio"] == 0.8 and not got[4]["flag_dup_lines"]
+    assert got[1]["flag_dup_lines"]
 
 
 @pytest.mark.parametrize("seed", [11, 12, 13, 14])

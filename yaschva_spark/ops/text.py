@@ -109,6 +109,7 @@ def gopher_rules(
     max_bullet_ratio: float = 0.9,
     max_ellipsis_ratio: float = 0.3,
     min_alpha_word_ratio: float = 0.8,
+    max_dup_line_ratio: float = 0.3,
 ) -> DataFrame:
     """Gopher-style quality filter flags (Rae et al. 2021,
     arXiv:2112.11446 §A1.1): the standard per-document repetition/format
@@ -119,9 +120,11 @@ def gopher_rules(
     within [min, max]; symbol-to-word ratio ('#' chars + '...' runs per
     word) below the cap; fraction of lines starting with a bullet below
     the cap; fraction of lines ending in an ellipsis below the cap;
-    fraction of words containing an alphabetic character above the floor.
-    Flags are per-rule so a pipeline can tune/ablate; ``pass_gopher`` is
-    their conjunction. Shuffle-free and exactly reproducible in ANSI SQL.
+    fraction of words containing an alphabetic character above the floor;
+    duplicate-line fraction (the repetition signal: 1 - distinct/total
+    lines) below the cap. Flags are per-rule so a pipeline can
+    tune/ablate; ``pass_gopher`` is their conjunction. Shuffle-free and
+    exactly reproducible in ANSI SQL.
     """
     text = F.col(text_col)
     words = _words(text)
@@ -146,6 +149,9 @@ def gopher_rules(
     ellipsis_ratio = ellipsis_end / F.greatest(n_lines, F.lit(1))
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     alpha_word_ratio = alpha_words / F.greatest(n_words, F.lit(1))
+    dup_line_ratio = (n_lines - F.size(F.array_distinct(lines))) / F.greatest(
+        n_lines, F.lit(1)
+    )
 
     flag_words = (n_words >= min_words) & (n_words <= max_words)
     flag_mean_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
@@ -153,6 +159,7 @@ def gopher_rules(
     flag_bullet = bullet_ratio <= max_bullet_ratio
     flag_ellipsis = ellipsis_ratio <= max_ellipsis_ratio
     flag_alpha = alpha_word_ratio >= min_alpha_word_ratio
+    flag_dup_lines = dup_line_ratio <= max_dup_line_ratio
     return df.select(
         F.col(id_col).alias("id"),
         n_words.alias("n_words"),
@@ -161,15 +168,17 @@ def gopher_rules(
         F.round(bullet_ratio, 6).alias("bullet_ratio"),
         F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
         F.round(alpha_word_ratio, 6).alias("alpha_word_ratio"),
+        F.round(dup_line_ratio, 6).alias("dup_line_ratio"),
         flag_words.alias("flag_word_count"),
         flag_mean_wl.alias("flag_mean_word_len"),
         flag_symbol.alias("flag_symbol_ratio"),
         flag_bullet.alias("flag_bullet_ratio"),
         flag_ellipsis.alias("flag_ellipsis_ratio"),
         flag_alpha.alias("flag_alpha_words"),
+        flag_dup_lines.alias("flag_dup_lines"),
         (
             flag_words & flag_mean_wl & flag_symbol
-            & flag_bullet & flag_ellipsis & flag_alpha
+            & flag_bullet & flag_ellipsis & flag_alpha & flag_dup_lines
         ).alias("pass_gopher"),
     )
 
