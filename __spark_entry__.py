@@ -449,6 +449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _LANG_LIST = ", ".join(f"'{x}'" for x in DOC_LANGS)
 _EVENT_LIST = ", ".join(f"'{x}'" for x in EVENT_TYPES)
 
+# UTF-16 text length in DuckDB: code points + one per astral character
+_UTF16_TEXT_LEN = (
+    "length(text) + len(regexp_extract_all(text, "
+    r"'[\x{10000}-\x{10FFFF}]'))"
+)
+
 # the flagship schema's violation predicates, spelled out in ANSI SQL — one
 # SELECT per (path, rule) the typed compiler can emit for DOC_SCHEMA
 _DOC_VIOLATION_SQL = f"""
@@ -457,11 +463,16 @@ _DOC_VIOLATION_SQL = f"""
     UNION ALL
     SELECT doc_id, '$.text', 'not_string' FROM documents WHERE text IS NULL
     UNION ALL
+    -- JS .length counts UTF-16 code units: code points + one per astral
+    -- character (typed.js_strlen computes the same on the Spark side)
     SELECT doc_id, '$.text', 'str_too_short' FROM documents
-      WHERE text IS NOT NULL AND length(text) < 1
+      WHERE text IS NOT NULL
+        AND {_UTF16_TEXT_LEN} < 1
     UNION ALL
     SELECT doc_id, '$.text', 'str_too_long' FROM documents
-      WHERE text IS NOT NULL AND length(text) >= 1 AND length(text) > 500
+      WHERE text IS NOT NULL
+        AND {_UTF16_TEXT_LEN} >= 1
+        AND {_UTF16_TEXT_LEN} > 500
     UNION ALL
     SELECT doc_id, '$.lang', 'not_string' FROM documents WHERE lang IS NULL
     UNION ALL
@@ -483,8 +494,9 @@ _DOC_VIOLATION_SQL = f"""
 """
 
 
-# word-3gram Jaccard pairs in DuckDB SQL (oracle for exact AND for
-# MinHash-LSH+verify, whose verified output equals the exact result)
+# exact embedding-cosine near-dup pairs in DuckDB SQL (oracle for the
+# exact GEMM kernel, the tiled variant, and the LSH path at threshold 0.4
+# where the planner delegates to exact)
 _NEAR_DUP_SQL = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS i, b.vec_id AS j,
@@ -742,16 +754,14 @@ def _ks_sql(n_quantiles: int = 101) -> str:
     """
 
 
+@lru_cache(maxsize=4)
 def _simhash_values(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """(id, fp) VALUES rows for every sf0.01 document, fingerprinted by the
     pure-Python XXH64+SimHash replica (yaschva_spark.xxh64 — an
     implementation independent of Spark's JVM hashing, differential-tested
-    bit-exact). Cached: oracle_sql() is called once per gate query."""
-    global _SIMHASH_VALUES_CACHE
-    try:
-        return _SIMHASH_VALUES_CACHE
-    except NameError:
-        pass
+    bit-exact). lru_cache keys on sf_dir (a hand-rolled global cache here
+    once ignored the argument and would have served stale rows to any
+    other scale factor)."""
     import pandas as pd
 
     from yaschva_spark.xxh64 import simhash64
@@ -762,8 +772,7 @@ def _simhash_values(sf_dir: str = "/root/testdata/sf0.01") -> str:
         fp = 0 if text is None else simhash64(str(text))
         idlit = "NULL" if pd.isna(did) else str(int(did))
         rows.append(f"({idlit}, {fp})")
-    _SIMHASH_VALUES_CACHE = ",\n          ".join(rows)
-    return _SIMHASH_VALUES_CACHE
+    return ",\n          ".join(rows)
 
 
 def _simhash_fp_sql() -> str:
@@ -932,7 +941,8 @@ def oracle_sql() -> dict[str, str]:
             FROM gt g
             CROSS JOIN ct c
             CROSS JOIN tot t
-            LEFT JOIN obs o ON o.source = g.source AND o.lang = c.lang
+            LEFT JOIN obs o ON o.source IS NOT DISTINCT FROM g.source
+                           AND o.lang IS NOT DISTINCT FROM c.lang
             GROUP BY g.source, g.n_g
         """,
         # dense-grid PSI with the eps clamp on absent cells — the engine's
@@ -953,7 +963,8 @@ def oracle_sql() -> dict[str, str]:
             FROM gt g
             CROSS JOIN ct c
             CROSS JOIN tot t
-            LEFT JOIN obs o ON o.source = g.source AND o.lang = c.lang
+            LEFT JOIN obs o ON o.source IS NOT DISTINCT FROM g.source
+                           AND o.lang IS NOT DISTINCT FROM c.lang
             GROUP BY g.source, g.n_g
         """,
         "numeric_profile_by_lang": _numeric_profile_sql(),

@@ -28,7 +28,11 @@ def _ensure_code_table(spark, n_rows: int, seed: int = 42) -> str:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", f"code_{n_rows}_{seed}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        code_files(spark, n_rows, seed=seed).write.mode("overwrite").parquet(path)
+        # partitions=64 matches scripts/bench_scaling.py's generator: the
+        # two share this cache key, and the scaling evidence asserts a
+        # 64-file layout (file count quantizes scan task waves under the
+        # 32m maxPartitionBytes setting)
+        code_files(spark, n_rows, seed=seed, partitions=64).write.mode("overwrite").parquet(path)
     return path
 
 

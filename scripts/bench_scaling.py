@@ -105,21 +105,31 @@ def main() -> None:
     data = _ensure_table()
     n, n4 = SCALE_N, 4 * SCALE_N
 
-    small = Worker(f"local[{n}]", 2 * n, data)
-    big = Worker(f"local[{n4}]", 8 * n, data)
+    # lifecycle under try/finally: a failed startup or mid-rep error must
+    # not leak live JVMs (they hold /dev/shm tmpfs dirs and burn cores,
+    # silently contaminating the next interleaved measurement)
+    small = big = None
+    try:
+        small = Worker(f"local[{n}]", 2 * n, data)
+        big = Worker(f"local[{n4}]", 8 * n, data)
 
-    # warmup both JVMs (JIT + page cache), discarded
-    small.run()
-    big.run()
+        # warmup both JVMs (JIT + page cache), discarded
+        small.run()
+        big.run()
 
-    pairs = []
-    for _ in range(REPS):
-        s = small.run()
-        b = big.run()
-        pairs.append((s, b))
-    rows = pairs[0][0]["rows"]
-    small.quit()
-    big.quit()
+        pairs = []
+        for _ in range(REPS):
+            s = small.run()
+            b = big.run()
+            pairs.append((s, b))
+        rows = pairs[0][0]["rows"]
+    finally:
+        for w in (small, big):
+            if w is not None:
+                try:
+                    w.quit()
+                except Exception:
+                    pass
 
     job_ratios = [p[0]["job_sec"] / p[1]["job_sec"] for p in pairs]
     micro_ratios = [p[0]["micro_sec"] / p[1]["micro_sec"] for p in pairs]

@@ -1,8 +1,10 @@
 """Per-stage scaling profile of the validation job.
 
-Times each action of run_validation_job separately at one parallelism level;
-run it at two levels and compare per-stage speedups to find where the
-N -> 4N efficiency is lost.
+Times each action of run_validation_job separately — mirroring the
+CURRENT pipeline stage shapes (fingerprint-shuffle uniqueness, RI fused
+into the manifest agg as a broadcast probe, non-outer explode without a
+pre-filter) — at one parallelism level; run it at two levels and compare
+per-stage speedups to find where the N -> 4N efficiency is lost.
 
 Usage: python scripts/profile_stages.py --master local[8] --shuffle 16 \
     --data .bench/code_8000000_42 [--reps 3]
@@ -50,8 +52,10 @@ def main() -> None:
         df = add_bucket(code, 64)
         validated = validate_table(df, CODE_SCHEMA, ignore_columns=(BUCKET_COL,))
 
+        # no filter(~pass): the non-outer explode drops passing rows and a
+        # pre-filter would evaluate the violations expression twice
         viol = (
-            validated.filter(~F.col(PASS_COL))
+            validated
             .select(
                 F.col(BUCKET_COL).alias("bucket"),
                 "repo", "path", "commit",
@@ -66,19 +70,31 @@ def main() -> None:
         clock("violations_write", lambda: viol.repartition("bucket")
               .write.mode("append").partitionBy("bucket").parquet(out + "/violations"))
 
-        clock("uniqueness", lambda: checks.uniqueness_summary(
+        # the pipeline's uniqueness is the 128-bit fingerprint shuffle, not
+        # a groupBy over the raw string keys (~5x more shuffle bytes)
+        clock("uniqueness_fp", lambda: checks.duplicate_key_fingerprints(
             validated.select("repo", "path", "commit"), ["repo", "path", "commit"]
+        ).agg(
+            F.count(F.lit(1)).alias("n_dup_keys"),
+            F.coalesce(F.sum("dup_count"), F.lit(0)).alias("n_dup_rows"),
         ).collect())
 
-        clock("ri_orphans", lambda: checks.ri_orphans(
-            validated.select("repo"), "repo", repos, "repo").count())
-
+        # RI rides the manifest agg as a broadcast left join (no separate
+        # job in the pipeline) — profile the fused stage, not a standalone
+        # anti-join
+        dim_keys = F.broadcast(
+            repos.select(F.col("repo").alias("__dim_repo")).dropDuplicates(["__dim_repo"])
+        )
+        with_dim = validated.join(
+            dim_keys, validated["repo"] == F.col("__dim_repo"), "left"
+        )
         manifest = (
-            validated.groupBy(F.col(BUCKET_COL).alias("bucket"))
+            with_dim.groupBy(F.col(BUCKET_COL).alias("bucket"))
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum((~F.col(PASS_COL)).cast("long")).alias("n_invalid_rows"),
                 F.sum(F.size(VIOLATIONS_COL)).alias("n_violations"),
+                F.sum(F.col("__dim_repo").isNull().cast("long")).alias("n_orphans"),
                 F.approx_count_distinct("repo").alias("n_repos"),
                 F.bit_xor(
                     F.conv(F.substring(F.sha2(F.col("content"), 256), 1, 15), 16, 10)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import os
 import shutil
 import sys
@@ -51,8 +52,13 @@ def main() -> None:
 
     # the probe must be long enough (tens of seconds at local[1]) to sample
     # the same hypervisor-steal window as the job run it is paired with —
-    # short probes made per-rep capacity ratios swing 1.4-3.5x
-    micro_df = spark.range(0, 20_000_000, 1, 16)
+    # short probes made per-rep capacity ratios swing 1.4-3.5x. Partition
+    # count scales with the worker's cores (a fixed 16 would cap the probe
+    # at 16-way concurrency, understating capacity for SCALE_N > 4 and
+    # inflating the normalized efficiency).
+    m = re.fullmatch(r"local\[(\d+|\*)\]", args.master)
+    cores = os.cpu_count() if (not m or m.group(1) == "*") else int(m.group(1))
+    micro_df = spark.range(0, 20_000_000, 1, max(16, 4 * cores))
     micro_expr = F.bit_xor(
         F.conv(F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 15), 16, 10)
         .cast("long")

@@ -215,3 +215,34 @@ def test_drift_psi_fold_matches_dense_grid_fuzz(spark, seed):
             for c in present_cats
         )
         assert got[g] == pytest.approx(want, abs=1e-5), (seed, g)
+
+
+def test_drift_chi2_and_psi_null_category_is_a_level(spark):
+    # NULL categories are a real level (engine windows are null-safe); the
+    # oracle's join must use IS NOT DISTINCT FROM to agree — this guards
+    # the semantics directly against the dense-grid formula
+    import math
+    from collections import Counter
+
+    rows = ([("g1", "a")] * 6 + [("g1", None)] * 2
+            + [("g2", "a")] * 3 + [("g2", None)] * 5)
+    df = spark.createDataFrame(rows, "g string, c string")
+    obs = Counter(rows)
+    n_g = Counter(g for g, _ in rows)
+    n_c = Counter(c for _, c in rows)
+    n = len(rows)
+    chi2 = {r["g"]: r["chi2"] for r in checks.drift_chi2(df, "g", "c").collect()}
+    psi = {r["g"]: r["psi"] for r in checks.drift_psi(df, "g", "c").collect()}
+    eps = 1e-6
+    for g in n_g:
+        want_chi2 = sum(
+            (obs.get((g, c), 0) - n_g[g] * n_c[c] / n) ** 2 / (n_g[g] * n_c[c] / n)
+            for c in n_c
+        )
+        want_psi = sum(
+            (max(obs.get((g, c), 0) / n_g[g], eps) - max(n_c[c] / n, eps))
+            * math.log(max(obs.get((g, c), 0) / n_g[g], eps) / max(n_c[c] / n, eps))
+            for c in n_c
+        )
+        assert chi2[g] == pytest.approx(want_chi2, abs=1e-5), g
+        assert psi[g] == pytest.approx(want_psi, abs=1e-5), g
