@@ -38,11 +38,16 @@ def _normalize(rows, columns):
         vals = []
         for c in columns:
             v = row[c] if not isinstance(row, tuple) else row[columns.index(c)]
-            if isinstance(v, (bool, np.bool_)):
+            if v is None:
+                # SQL NULL: Spark collects Python None while pandas folds a
+                # DuckDB NULL double to NaN — sentinel BOTH to one tag so
+                # the two spellings of "missing" compare equal
+                vals.append(("nul", None))
+            elif isinstance(v, (bool, np.bool_)):
                 vals.append(("b", bool(v)))
             elif isinstance(v, (float, np.floating)):
                 fv = float(v)
-                vals.append(("f", "NaN" if math.isnan(fv) else round(fv, 6)))
+                vals.append(("nul", None) if math.isnan(fv) else ("f", round(fv, 6)))
             elif isinstance(v, (int, np.integer)):
                 vals.append(("i", int(v)))
             else:
@@ -59,9 +64,11 @@ def test_query_matches_oracle(spark, ddb, name):
     cols = sorted(sdf.columns)
     spark_rows = [r.asDict() for r in sdf.collect()]
     got = _normalize(spark_rows, cols)
-    if o is None:
-        assert len(got) >= 0  # rows-only check
-        return
+    # every query MUST ship an oracle: a missing/typo'd oracle_sql() entry
+    # previously fell into a vacuous rows-only branch and green-lit an
+    # unvalidated query (intentional rows-only queries would be listed in
+    # an explicit allowlist here — there are none)
+    assert o is not None, f"{name}: no oracle_sql() entry"
     odf = ddb.sql(o).df()
     assert sorted(odf.columns.tolist()) == cols, (sorted(odf.columns.tolist()), cols)
     exp = _normalize([tuple(rec[c] for c in cols) for rec in odf.to_dict("records")], cols)

@@ -13,12 +13,16 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+    df = spark.read.parquet(f"{SF}/documents.parquet").persist()
+    yield df
+    df.unpersist()  # session outlives the module; don't leak cached plans
 
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    yield df
+    df.unpersist()
 
 
 # --- dedup -------------------------------------------------------------------
@@ -162,10 +166,23 @@ def test_decode_real_is_stubbed():
 
 
 def test_embedding_near_dup_exact(emb):
+    import numpy as np
+
     pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.4).collect()
     assert all(p["i"] < p["j"] and p["sim"] >= 0.4 for p in pairs)
-    # brute-force spot check on a small slice: every returned pair really is
-    # above threshold, and a known below-threshold pair is absent
+    # INDEPENDENT brute force: recompute every pairwise cosine in numpy and
+    # require identical pair set AND sims (guards the kernel every other
+    # similarity test compares against)
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    G = (M @ M.T) / (np.linalg.norm(M, axis=1)[:, None] * np.linalg.norm(M, axis=1)[None, :])
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            if G[x, y] >= 0.4:
+                want[(int(ids[x]), int(ids[y]))] = round(float(G[x, y]), 6)
+    assert {(p["i"], p["j"]): p["sim"] for p in pairs} == want
     got = {(p["i"], p["j"]) for p in pairs}
     low = similarity.embedding_near_dup_pairs(emb, threshold=0.3).collect()
     assert {(p["i"], p["j"]) for p in low} >= got  # monotone in threshold

@@ -3,7 +3,6 @@ depends on, asserted so a refactor can't silently regress them."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from yaschva_spark import checks

@@ -41,7 +41,7 @@ def test_stream_validation_matches_batch(spark, events_dir):
         validated.select("event_id", PASS_COL, F.size(VIOLATIONS_COL).alias("nv")),
         "stream_validated",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed-out drain, sink incomplete
     got = {r["event_id"]: (r[PASS_COL], r["nv"]) for r in spark.table("stream_validated").collect()}
 
     expected_df = validate_table(batch, EVENT_SCHEMA)
@@ -59,7 +59,7 @@ def test_windowed_violation_counts(spark, events_dir):
     validated = streaming.validate_stream(stream, EVENT_SCHEMA)
     counts = streaming.windowed_violation_counts(validated, "ts", "1 hour", "2 hours")
     q = streaming.run_to_memory_sink(counts, "stream_counts", output_mode="complete")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timed-out drain, sink incomplete
     got = spark.table("stream_counts").collect()
     assert len(got) > 0
     # cross-check totals against batch
@@ -99,7 +99,7 @@ def test_stateful_violation_totals_accumulates(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)  # False = timed-out drain, sink incomplete
         # latest emission per key = the running totals
         rows = spark.read.parquet(sink).collect()
         latest = {}
