@@ -272,7 +272,22 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     from yaschva_spark.ops import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_lsh(emb, threshold=0.4)
+    # expected_n='count' is the documented opt-in to the planner's sizing
+    # scan (at real scale callers pass an approximate row count instead)
+    return similarity.embedding_near_dup_lsh(emb, threshold=0.4, expected_n="count")
+
+
+def _q_embedding_near_dup_lsh_banded(spark, sf_dir):
+    """The LSH plan in its WINNING regime (VERDICT r2 'never executed in
+    bench'): expected_n forced beyond the GEMM broadcast bound makes the
+    cost model genuinely pick the banded plan — lsh_near_dup_params(0.45,
+    10**7) = ('lsh', 7, 61) — instead of delegating to the exact kernel.
+    The oracle replicates the full multi-table algorithm with the same
+    seeded hyperplanes, so the (deterministic) approximation hash-matches."""
+    from yaschva_spark.ops import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_lsh(emb, threshold=0.45, expected_n=10_000_000)
 
 
 @lru_cache(maxsize=8)
@@ -431,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "embedding_near_dup_lsh_banded": _q_embedding_near_dup_lsh_banded,
         "embedding_near_dup_tiled": _q_embedding_near_dup_tiled,
         "semdedup_pairs": _q_semdedup_pairs,
         "split_counts": _q_split_counts,
@@ -577,6 +593,50 @@ def _ann_lsh_sql(k: int = 3, n_planes: int = 4, n_tables: int = 8, dim: int = 64
               FROM s)
         SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
         FROM r WHERE rank <= {k}
+    """
+
+
+def _lsh_near_dup_sql(threshold: float = 0.45, expected_n: int = 10_000_000) -> str:
+    """DuckDB replication of the FULL embedding_near_dup_lsh banded plan:
+    the planner chooses (n_planes, n_tables) from the same closed form the
+    Spark side runs, the seeded hyperplanes are embedded as literals,
+    buckets are per-table sign-bit sums, candidates are (table, bucket)
+    self-join collisions, and verification is exact cosine at the
+    threshold — deterministic end to end, so even the pairs LSH *misses*
+    match."""
+    from yaschva_spark.ops.similarity import _hyperplanes, lsh_near_dup_params
+
+    plan, n_planes, n_tables = lsh_near_dup_params(threshold, expected_n)
+    assert plan == "lsh", (plan, threshold, expected_n)
+    rows = []
+    for t in range(n_tables):
+        for p_idx, plane in enumerate(_hyperplanes(64, n_planes, 42 + 1000 * t)):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            rows.append(f"({t}, {p_idx}, {lit})")
+    values = ",\n          ".join(rows)
+    return f"""
+        WITH planes(table_id, plane_idx, p) AS (VALUES
+          {values}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (
+          SELECT e.vec_id, pl.table_id,
+                 sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                          THEN (1::BIGINT << pl.plane_idx) ELSE 0 END)::BIGINT AS bucket
+          FROM e CROSS JOIN planes pl
+          GROUP BY e.vec_id, pl.table_id
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS i, c.vec_id AS j
+          FROM b a JOIN b c ON a.table_id = c.table_id AND a.bucket = c.bucket
+                           AND a.vec_id < c.vec_id
+        ),
+        s AS (
+          SELECT cand.i, cand.j, list_cosine_similarity(ei.v, ej.v) AS sim
+          FROM cand
+          JOIN e ei ON ei.vec_id = cand.i
+          JOIN e ej ON ej.vec_id = cand.j
+        )
+        SELECT i, j, round(sim, 6) AS sim FROM s WHERE sim >= {threshold}
     """
 
 
@@ -1086,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         # selects the exhaustive GEMM plan at threshold 0.4 — LSH cannot
         # beat it there — so its output is exact and shares the oracle
         "embedding_near_dup_lsh": _NEAR_DUP_SQL,
+        "embedding_near_dup_lsh_banded": _lsh_near_dup_sql(),
         # tiled exact (triangle block partitioning) computes the same set
         "embedding_near_dup_tiled": _NEAR_DUP_SQL,
         "token_counts": r"""

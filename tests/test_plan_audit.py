@@ -23,6 +23,7 @@ PANDAS_STAGES_OK = {
     "ann_ivf_topk",            # centroid assign/probe GEMM
     "embedding_near_dup",      # broadcast blocked-GEMM kernel
     "embedding_near_dup_lsh",  # delegates to the GEMM kernel at th 0.4
+    "embedding_near_dup_lsh_banded",  # genuine banded plan: bucket GEMM + verify
     "embedding_near_dup_tiled",  # per-tile GEMM (applyInPandas)
     "semdedup_pairs",          # per-cell GEMM (applyInPandas)
     "minhash_near_dup",        # affine-mix signature kernel

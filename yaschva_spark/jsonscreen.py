@@ -46,7 +46,7 @@ from typing import Any
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from yaschva_spark.regexdialect import typed_unsafe
+from yaschva_spark.regexdialect import to_java_pattern, typed_unsafe
 from yaschva_spark.schema import js_falsy
 
 MAX_SAFE = 2**53 - 1
@@ -148,7 +148,7 @@ def _screen(node: Any, tv: Column) -> Column:
             if not js_falsy(pattern):
                 if typed_unsafe(pattern):
                     raise ScreenNotApplicable("ECMA-only regex")
-                cond = cond & s.rlike(pattern)
+                cond = cond & s.rlike(to_java_pattern(pattern))
             return cond
         if "$number" in node:
             spec = node["$number"]

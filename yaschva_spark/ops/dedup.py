@@ -112,7 +112,15 @@ def _prefix_jaccard(sh: DataFrame, threshold: float, inv: DataFrame) -> DataFram
     shingle) — rarest-first, the standard choice, so the prefixes land on
     the LOW-df shingles and the ubiquitous ones mostly fall outside every
     prefix. A size filter (min >= t * max) prunes further: J >= t is
-    impossible across a bigger length gap."""
+    impossible across a bigger length gap.
+
+    Float guard: when ``t*sz`` is an exact integer in real arithmetic the
+    double product can land one ulp HIGH (e.g. t=1/91, sz=273 gives
+    3.0000000000000004), which would shorten the prefix / reject a
+    qualifying size pair and break the lossless contract — so both bounds
+    subtract a 1e-9 epsilon first. The only effect of the epsilon on the
+    non-integer case is an occasionally one-longer prefix (more
+    candidates, never fewer); exact verification keeps values right."""
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sizes = sh.select("id", F.size("shingle_set").alias("sz"))
     w = Window.partitionBy("id").orderBy("df", "shingle")
@@ -120,7 +128,10 @@ def _prefix_jaccard(sh: DataFrame, threshold: float, inv: DataFrame) -> DataFram
         inv.join(dfreq, "shingle")
         .join(sizes, "id")
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+        )
         .select("id", "shingle", "sz")
     )
     a = prefix.alias("a")
@@ -132,7 +143,7 @@ def _prefix_jaccard(sh: DataFrame, threshold: float, inv: DataFrame) -> DataFram
             & (F.col("a.id") < F.col("b.id"))
             & (
                 F.least(F.col("a.sz"), F.col("b.sz"))
-                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")) - F.lit(1e-9)
             ),
         )
         .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))

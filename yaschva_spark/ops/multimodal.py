@@ -2,10 +2,15 @@
 
 The Spark-side machinery is real and tested — asset schema, Arrow-batched
 ``mapInPandas`` feature extraction with bounded batch memory, partition-count
-preservation — while the actual media decode is STUBBED (this container has
-no image/audio libraries): :func:`decode_features` derives deterministic
-fake features from the payload bytes, and :func:`decode_real` raises
-``NotImplementedError`` with the integration point documented.
+preservation — and cheap byte-level features (sha256 digest, byte length)
+are computed JVM-side (``F.sha2`` / ``F.octet_length``) so the pandas stage
+carries ONLY true decode work. :func:`decode_real` parses the header
+formats that need no media libraries (BMP, PPM/PGM, WAV — stdlib
+``struct`` only); compressed codecs (JPEG/PNG/MP3/MP4/...) raise
+``NotImplementedError`` with the integration point documented, and
+:func:`decode_features`'s default stub path derives deterministic fake
+features from the JVM-computed digest instead (zero payload bytes cross
+into Python on that path).
 
 At 100 TB the pattern is: keep payloads in their own parquet column chunk
 (columnar pruning means metadata-only queries never read the bytes), size
@@ -16,7 +21,7 @@ with partitions.
 
 from __future__ import annotations
 
-import hashlib
+import struct
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,19 +55,98 @@ def synthetic_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     )
 
 
-def decode_real(kind: str, payload: bytes):
-    """The real decode integration point. Plug PIL/torchaudio/pyav here."""
+def _decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    if len(payload) < 26:
+        raise ValueError("BMP payload truncated before DIB header")
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size == 12:  # BITMAPCOREHEADER: uint16 dims
+        w, h = struct.unpack_from("<HH", payload, 18)
+    else:  # BITMAPINFOHEADER (40) and the V4/V5 extensions: int32 dims
+        w, h = struct.unpack_from("<ii", payload, 18)
+    return int(w), abs(int(h)), 1  # negative height = top-down row order
+
+
+def _decode_pnm(payload: bytes) -> tuple[int, int, int]:
+    """P1-P6 netpbm: magic then whitespace/comment-separated width height."""
+
+    def tokens():
+        i, n = 0, len(payload)
+        while i < n:
+            c = payload[i : i + 1]
+            if c == b"#":  # comment to end of line
+                while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < n and not payload[j : j + 1].isspace():
+                    j += 1
+                yield payload[i:j]
+                i = j
+
+    it = tokens()
+    next(it)  # magic, validated by the caller
+    try:
+        w, h = int(next(it)), int(next(it))
+    except (StopIteration, ValueError) as e:
+        raise ValueError("PNM payload: malformed width/height header") from e
+    return w, h, 1
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """RIFF/WAVE chunk walk: (n_channels, bits_per_sample, n_samples)."""
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        raise ValueError("WAV payload: missing RIFF/WAVE header")
+    n_channels = bits = block_align = None
+    n_samples = 0
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt " and size >= 16:
+            _fmt, n_channels, _rate, _bps, block_align, bits = struct.unpack_from(
+                "<HHIIHH", payload, body
+            )
+        elif cid == b"data":
+            if block_align:
+                n_samples = size // block_align
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if n_channels is None:
+        raise ValueError("WAV payload: no fmt chunk")
+    return int(n_channels), int(bits), int(n_samples)
+
+
+def decode_real(kind: str, payload: bytes) -> tuple[int, int, int]:
+    """Real (library-free) header decode for the formats stdlib can parse:
+
+    * BMP (``BM``) — (width_px, height_px, 1)
+    * netpbm P1-P6 (``P1``..``P6``) — (width_px, height_px, 1)
+    * WAV (``RIFF``/``WAVE``) — (n_channels, bits_per_sample, n_samples)
+
+    Compressed codecs (JPEG/PNG/MP3/MP4/...) need external media libraries
+    not present in this container — plug PIL/torchaudio/pyav in here; until
+    then they raise, and :func:`decode_features`'s stub path stands in.
+    """
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if len(payload) >= 2 and payload[:1] == b"P" and payload[1:2] in b"123456":
+        return _decode_pnm(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "container; decode_features() uses the deterministic stub instead"
+        f"decoding this {kind!r} payload requires media libraries not present "
+        "in this container (only BMP/PNM/WAV headers are stdlib-parseable); "
+        "decode_features() uses the deterministic stub instead"
     )
 
 
-def _stub_features(kind: str, payload: bytes) -> tuple[int, int, int]:
-    """Deterministic fake (width, height, n_frames) from the payload digest —
-    stable stand-ins so downstream plumbing (schemas, joins, aggregations)
-    is fully testable without media libs."""
-    d = hashlib.sha256(payload).digest()
+def _stub_features(kind: str, digest_hex: str) -> tuple[int, int, int]:
+    """Deterministic fake (width, height, n_frames) from the JVM-computed
+    payload digest — stable stand-ins so downstream plumbing (schemas,
+    joins, aggregations) is fully testable without media libs."""
+    d = bytes.fromhex(digest_hex[:6])
     width = 16 + d[0] * 4
     height = 16 + d[1] * 4
     n_frames = 1 if kind == "image" else 1 + d[2]
@@ -72,40 +156,46 @@ def _stub_features(kind: str, payload: bytes) -> tuple[int, int, int]:
 def decode_features(assets: DataFrame, use_stub: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    One pandas call per Arrow batch; batch size is governed by the session's
-    ``arrow.maxRecordsPerBatch``. The stub path never materializes decoded
-    frames — only per-asset features leave the stage."""
+    Digest and byte length are Catalyst built-ins (``sha2`` /
+    ``octet_length`` — JVM-side, no Python), so the pandas stage carries
+    only the decode itself. On the stub path not even the payload crosses
+    the Arrow boundary — the fake features derive from the JVM digest, so
+    per-row transfer is ~100 bytes regardless of payload size; the real
+    path ships payloads because the decoder must see the bytes. One pandas
+    call per Arrow batch; batch size is governed by the session's
+    ``arrow.maxRecordsPerBatch``."""
+    base = assets.select(
+        "asset_id",
+        "kind",
+        F.coalesce(F.octet_length("payload"), F.lit(0)).cast("long").alias("n_bytes"),
+        F.sha2(F.coalesce(F.col("payload"), F.lit(b"")), 256).alias("digest"),
+        *([] if use_stub else ["payload"]),
+    )
 
     def run(batches: Iterator) -> Iterator:
-        import pandas as pd
-
         for pdf in batches:
-            feats = {"width": [], "height": [], "n_frames": [], "digest": [], "n_bytes": []}
-            for kind, payload in zip(pdf["kind"], pdf["payload"]):
-                payload = bytes(payload) if payload is not None else b""
-                if use_stub:
-                    w, h, nf = _stub_features(kind, payload)
-                else:  # pragma: no cover - requires media libs
+            feats = {"width": [], "height": [], "n_frames": []}
+            if use_stub:
+                for kind, digest in zip(pdf["kind"], pdf["digest"]):
+                    w, h, nf = _stub_features(kind, digest)
+                    feats["width"].append(w)
+                    feats["height"].append(h)
+                    feats["n_frames"].append(nf)
+            else:
+                for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                    payload = bytes(payload) if payload is not None else b""
                     w, h, nf = decode_real(kind, payload)
-                feats["width"].append(w)
-                feats["height"].append(h)
-                feats["n_frames"].append(nf)
-                feats["digest"].append(hashlib.sha256(payload).hexdigest())
-                feats["n_bytes"].append(len(payload))
-            out = pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": feats["n_bytes"],
-                    "width": feats["width"],
-                    "height": feats["height"],
-                    "n_frames": feats["n_frames"],
-                    "digest": feats["digest"],
-                }
-            )
-            yield out
+                    feats["width"].append(w)
+                    feats["height"].append(h)
+                    feats["n_frames"].append(nf)
+            out = pdf[["asset_id", "kind", "n_bytes"]].copy()
+            out["width"] = feats["width"]
+            out["height"] = feats["height"]
+            out["n_frames"] = feats["n_frames"]
+            out["digest"] = pdf["digest"]
+            yield out[["asset_id", "kind", "n_bytes", "width", "height", "n_frames", "digest"]]
 
-    return assets.mapInPandas(run, schema=FEATURE_DDL)
+    return base.mapInPandas(run, schema=FEATURE_DDL)
 
 
 def frame_sample_plan(assets: DataFrame, every_nth: int = 10) -> DataFrame:

@@ -300,9 +300,10 @@ def _tile_pair_frame(threshold: float, left, right, intra: bool, cluster=None):
 def _replicate_block_pairs(rows: DataFrame, n_blocks: int, seed: int) -> DataFrame:
     """Triangle replication: hash each row (columns incl. ``id``) into one
     of ``n_blocks`` blocks, then broadcast-join it to every unordered block
-    pair (p <= q) containing its block — (B+1)/2 copies per row on
-    average; downstream groups on (p, q) see exactly the two blocks of
-    their tile."""
+    pair (p <= q) containing its block — exactly B copies per row (block x
+    joins the B-x pairs with p=x plus the x+1 pairs with q=x, minus the
+    double-counted (x,x) tile), n*B replicated rows total; downstream
+    groups on (p, q) see exactly the two blocks of their tile."""
     spark = rows.sparkSession
     blk = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(n_blocks)).cast("int")
     bpairs = spark.createDataFrame(
@@ -328,7 +329,7 @@ def embedding_near_dup_tiled(
     group (min(bx,by), max(bx,by)), so output equals
     :func:`embedding_near_dup_pairs` (asserted in tests) with NO corpus
     broadcast: peak memory per task is ~2(n/B) vectors, total shuffle is
-    n*(B+1)/2 replicated rows. Pick B so n*d*16/B fits an executor —
+    n*B replicated rows. Pick B so n*d*16/B fits an executor —
     at n=10^9, d=64, B=4096 a group holds ~250 MB. The n^2/2 flops are
     irreducible (this is the exact operator); the LSH path is the
     sub-quadratic escape."""
@@ -352,12 +353,17 @@ def embedding_near_dup_tiled(
     return pairs.select("i", "j", F.round("sim", 6).alias("sim"))
 
 
+# broadcast validity bound of embedding_near_dup_pairs (n*d*8 bytes on the
+# driver + every executor); beyond it the exact path must tile
+GEMM_LIMIT = 1_000_000
+
+
 def lsh_near_dup_params(
     threshold: float,
     n: int,
     target_recall: float = 0.95,
     max_tables: int = 64,
-    gemm_limit: int = 1_000_000,
+    gemm_limit: int = GEMM_LIMIT,
     cand_cost_ratio: float = 200.0,
 ) -> tuple[str, int, int]:
     """Closed-form LSH parameter selection — the candidate-budget planner.
@@ -417,20 +423,26 @@ def embedding_near_dup_lsh(
     dim: int = 64,
     seed: int = 42,
     target_recall: float = 0.95,
-    expected_n: int | None = None,
+    expected_n: int | str | None = None,
 ) -> DataFrame:
     """Near-dup scale path with a self-tuning plan.
 
     Parameters (n_planes, n_tables) default to the
-    :func:`lsh_near_dup_params` cost model, fed by ``expected_n`` (or a
-    cheap count). When the model concludes LSH cannot beat the exhaustive
-    blocked-GEMM kernel — true for low thresholds like 0.4, where the
-    per-plane probability gap (0.63 vs the 0.50 background) is too thin —
-    the operator DELEGATES to :func:`embedding_near_dup_pairs`: recall 1.0,
-    exact output, and faster than any banded plan at that setting
-    (measured: the previous fixed 4x12 banding was slower than its own
-    exact baseline). Passing explicit n_planes/n_tables forces the LSH
-    plan (used by tests and by callers who know their corpus).
+    :func:`lsh_near_dup_params` cost model, fed by ``expected_n`` — pass
+    an approximate row count; ``expected_n='count'`` opts into an exact
+    ``df.count()`` scan, and leaving it None runs that scan with a
+    warning (a hidden full scan is a surprise at scale). When the model
+    concludes LSH cannot beat the exhaustive kernel — true for low
+    thresholds like 0.4, where the per-plane probability gap (0.63 vs the
+    0.50 background) is too thin — the operator DELEGATES to the exact
+    path: :func:`embedding_near_dup_pairs` (broadcast GEMM; recall 1.0,
+    and faster than any banded plan at that setting — measured: the
+    previous fixed 4x12 banding was slower than its own exact baseline)
+    while n fits the broadcast bound, else
+    :func:`embedding_near_dup_tiled` (the broadcast kernel's collect is
+    invalid past ~10^6 vectors). Passing explicit n_planes/n_tables
+    forces the LSH plan (used by tests and by callers who know their
+    corpus).
 
     The LSH plan itself: multi-table hyperplane bucketing (one GEMM per
     Arrow batch for all sign bits), candidate self-join on (table, bucket)
@@ -464,9 +476,35 @@ def embedding_near_dup_lsh(
                         break
                     n_planes = P
         else:
-            n = expected_n if expected_n is not None else df.count()
+            if expected_n is None or expected_n == "count":
+                if expected_n is None:
+                    # a full scan just to feed the planner is a surprise at
+                    # scale — callers should pass expected_n (or the explicit
+                    # "count" opt-in to silence this)
+                    import warnings
+
+                    warnings.warn(
+                        "embedding_near_dup_lsh: expected_n not set — running a "
+                        "df.count() scan to feed the cost-model planner; pass "
+                        "expected_n=<approx rows> (or expected_n='count' to "
+                        "opt into the scan) at scale",
+                        stacklevel=2,
+                    )
+                n = df.count()
+            else:
+                n = int(expected_n)
             plan, p_auto, t_auto = lsh_near_dup_params(threshold, n, target_recall)
             if plan == "exhaustive":
+                if n > GEMM_LIMIT:
+                    # the broadcast GEMM kernel is invalid here (it collects
+                    # the corpus); the exact path that survives is the tiled
+                    # triangle join — size blocks to ~GEMM_LIMIT/4 vectors
+                    import math as _math
+
+                    n_blocks = max(2, _math.ceil(n / (GEMM_LIMIT // 4)))
+                    return embedding_near_dup_tiled(
+                        df, id_col, vec_col, threshold, n_blocks=n_blocks, seed=seed
+                    )
                 return embedding_near_dup_pairs(df, id_col, vec_col, threshold)
             n_planes, n_tables = p_auto, t_auto
     tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
@@ -543,7 +581,7 @@ def semdedup_pairs(
     sub-blocks, each unordered sub-block pair (p <= q) of the SAME cell is
     its own task, so per-task memory drops ~B-fold and the widest cell
     fans out to B(B+1)/2 parallel tasks, at the cost of each row entering
-    the shuffle (B+1)/2 times. Output is identical for any B (asserted in
+    the shuffle B times. Output is identical for any B (asserted in
     tests) — pick B so (cell_rows/B) vectors fit an executor.
 
     ``centroids`` injects a pretrained quantizer (the oracle shares these

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from yaschva_spark import errors as E
-from yaschva_spark.regexdialect import typed_unsafe
+from yaschva_spark.regexdialect import to_java_pattern, typed_unsafe
 from yaschva_spark.schema import (
     SchemaError,
     combine_and,
@@ -271,10 +271,13 @@ class _Compiler:
         """Dialect guard (SURVEY §7.4): ``rlike`` evaluates patterns under
         Java regex semantics, but the reference compiles them as ECMAScript
         ``new RegExp(p, 'u')`` (/root/reference/src/validate.ts:81).
-        Constructs whose meaning differs — ``\\u{...}``, long/script
-        Unicode properties, ``[]``/``[^]`` — must not silently compile;
-        raising TypedCompileError makes validate_auto route the schema to
-        the reference-faithful interpreter path instead."""
+        Most divergent constructs are TRANSLATED to exact-ECMA Java
+        spellings by regexdialect.to_java_pattern ($-anchor, dot/NEL,
+        class operators, ``\\u{...}``, ``\\s``, ``[]``/``[^]``); the
+        untranslatable residue (long/script Unicode properties, in-class
+        ``\\S``/``\\W``) must not silently compile — raising
+        TypedCompileError makes validate_auto route the schema to the
+        reference-faithful interpreter path instead."""
         reasons = typed_unsafe(pattern)
         if reasons:
             raise TypedCompileError(
@@ -303,9 +306,11 @@ class _Compiler:
             )
         if not js_falsy(pattern):
             self._require_java_safe(pattern)
-            # rlike is an unanchored search, same as ECMAScript .test
+            # rlike is an unanchored search, same as ECMAScript .test;
+            # to_java_pattern pins $-anchor / dot / class-operator semantics
+            # to ECMA (regexdialect module docstring)
             chain = chain.when(
-                ~expr.rlike(pattern),
+                ~expr.rlike(to_java_pattern(pattern)),
                 self._const(path, "regex_mismatch", E.REGEX_MISMATCH, expr),
             )
         return chain.otherwise(_empty())
@@ -408,7 +413,7 @@ class _Compiler:
                 E.REGEX_MISMATCH,
                 F.to_json(expr),
             )
-            return F.when(~key.rlike(pattern), key_viol).otherwise(val_viols)
+            return F.when(~key.rlike(to_java_pattern(pattern)), key_viol).otherwise(val_viols)
 
         entries = F.flatten(F.transform(F.map_entries(expr), entry_viols))
         chain = F.when(expr.isNull(), self._const(path, "not_object", E.NOT_OBJECT, expr))
