@@ -170,13 +170,19 @@ def _q_numeric_profile(spark, sf_dir):
 def _q_props_json_validation(spark, sf_dir):
     # DYNAMIC path: the reference-faithful interpreter over a JSON column via
     # Arrow-batched mapInPandas (yaschva_spark.engine.validate_json_table) —
-    # exact undefined/union semantics, driver-checked against a JSON oracle
+    # exact undefined/union semantics, driver-checked against a JSON oracle.
+    # screen=False is the measured-fastest plan for this corpus: rows are
+    # narrow (event_id + a tiny props blob) and ~half violate, so the
+    # VARIANT screen (~32 us/row of interpreted JVM ops) costs as much as
+    # the whole interpreter (~30 us/row incl. Arrow) while saving nothing
+    # (engine.validate_json_table docstring has the regime guidance)
     from yaschva_spark.engine import validate_json_table
 
     events = _t(spark, sf_dir, "events")
     schema = {"k": {"$number": {"min": 0, "max": 50}}}
     validated = validate_json_table(
-        events.select("event_id", "props"), schema, "props", keep_cols=["event_id"]
+        events.select("event_id", "props"), schema, "props", keep_cols=["event_id"],
+        screen=False,
     )
     return explode_violations(validated, ["event_id"]).select("event_id", "path", "rule")
 

@@ -104,6 +104,7 @@ def validate_json_table(
     *,
     keep_cols: list[str] | None = None,
     screen: bool = True,
+    screen_materialize: str = "persist",
 ) -> DataFrame:
     """Dynamic path: validate a JSON-text column with exact reference
     semantics via the interpreter, Arrow batch at a time.
@@ -114,24 +115,54 @@ def validate_json_table(
 
     ``screen=True`` (default) is the hybrid execution from VERDICT r1 #6:
     a Catalyst VARIANT expression (:mod:`yaschva_spark.jsonscreen`) proves
-    ``pass`` JVM-side for the statically-expressible schema fragment, so
-    per-row Python (json.loads + the interpreter) runs ONLY on rows the
-    screen can't prove — the violating tail, not the table. The screen is
-    sound-by-construction (never claims pass wrongly; differential-tested
-    against the pure interpreter), so output is bit-identical with
-    ``screen=False``. Schemas outside the fragment silently run fully
-    interpreted.
+    ``pass`` JVM-side for the statically-expressible schema fragment, and
+    the plan SPLITS on it — proven rows take a pure-JVM projection
+    (constant pass/empty-violations columns plus the JVM-built output
+    tree) that never crosses the Arrow boundary, and only the unproven
+    tail runs the interpreter inside ``mapInPandas``. Python cost AND
+    serialization cost are both linear in the tail, not the table — the
+    r2 single-stage form screened out interpreter CPU but still shipped
+    every row JVM->Arrow->Python->Arrow->JVM (VERDICT r2 #1). The screen
+    is sound-by-construction (never claims pass wrongly;
+    differential-tested against the pure interpreter), so output is
+    bit-identical with ``screen=False``. Schemas outside the fragment
+    silently run fully interpreted.
 
-    Plan-shape note (measured at sf0.1, 500k rows): the screen rides as a
-    COLUMN through one mapInPandas stage. The tempting alternative — split
-    the plan so proven rows never enter Python — was tried and is ~2x
-    slower: both filter branches re-evaluate try_parse_json (~1.3 s per
-    pass), which costs more than the Arrow transfer it saves. One screen
-    eval + batch-level skipping wins.
+    **Choose the plan by measurement** (sf0.1 events, 100k rows, 1 core):
+    the VARIANT screen evaluates ~2 interpreted JVM ops per schema check
+    (~32 us/row for the flat one-field number schema) while the full
+    interpreter including Arrow transfer is ~30 us/row — the screen is
+    NOT cheaper per row for narrow rows and small schemas, so there
+    ``screen=False`` (pure interpreter, linear scale-out) is the fastest
+    plan. The split pays off when the *saved transfer* dominates: wide
+    ``keep_cols`` (proven rows never serialize their payload) and/or a
+    tiny violating tail with a large schema. Both plans are exact; pick
+    per corpus.
+
+    The split's one hazard is double evaluation: both branches read the
+    screened projection, and recomputing it means a second scan plus a
+    second ``try_parse_json`` (measured ~2x at sf0.1 — worse than the tax
+    it removes). ``screen_materialize="persist"`` (default) therefore
+    pins the small ``(keep, json, screen, passout)`` projection through
+    :func:`yaschva_spark.cache.persist_tracked` — both branches read it
+    once; callers release it via ``cache.unpersist_intermediates()`` (the
+    bench/test convention). ``"recompute"`` opts out for topologies where
+    re-reading the source twice beats spilling the projection (e.g.
+    storage-rich clusters validating narrow projections of wide tables).
+
+    Parallelism guard: validation is CPU-bound (variant screen and/or
+    interpreter), so the stage needs at least one task per core. At
+    cluster scale file splits provide that for free; a small local file
+    arrives as ONE split and would serialize the whole job on one core
+    (measured 4x at sf0.1) — inputs with fewer partitions than
+    ``defaultParallelism`` are repartitioned up front (the shuffled
+    projection is just ``keep + json``; no-op at scale).
     """
     check_schema(schema)
     keep = keep_cols if keep_cols is not None else [c for c in df.columns]
     schema_blob = json.dumps(schema)  # ship the schema to executors as text
+    if screen_materialize not in ("persist", "recompute"):
+        raise ValueError(f"screen_materialize: {screen_materialize!r}")
 
     screen_col = None
     pass_out_col = None
@@ -158,17 +189,10 @@ def validate_json_table(
         for pdf in batches:
             texts = pdf[json_col]
             n = len(pdf)
-            proved = pdf["__yv_screen"].to_numpy() if "__yv_screen" in pdf.columns else None
             valid = [True] * n
             viols: list = [[] for _ in range(n)]
-            # proven rows take the JVM-built pass output (interpreter key
-            # order); every unproven row is overwritten below
-            outputs: list = (
-                pdf["__yv_passout"].tolist() if proved is not None else [None] * n
-            )
+            outputs: list = [None] * n
             for idx, raw in enumerate(texts):
-                if proved is not None and proved[idx]:
-                    continue  # JVM already proved pass; constants stand
                 if raw is None or raw == UNDEFINED_TOKEN:
                     value = UNDEFINED
                 else:
@@ -193,12 +217,35 @@ def validate_json_table(
             out["yv_output"] = outputs
             yield out
 
-    src = df
-    if screen_col is not None:
-        src = df.withColumn("__yv_screen", screen_col).withColumn(
-            # built only for proven rows (NULL otherwise) so the violating
-            # tail doesn't pay the string construction or the Arrow bytes
-            "__yv_passout",
-            F.when(F.col("__yv_screen"), pass_out_col),
-        )
-    return src.mapInPandas(run_batches, schema=out_ddl)
+    need = list(dict.fromkeys([*keep, json_col]))
+    src = df.select(*need)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+
+    if screen_col is None:
+        return src.mapInPandas(run_batches, schema=out_ddl)
+
+    scr = src.select(
+        *need,
+        screen_col.alias("__yv_screen"),
+        # built only for proven rows (NULL otherwise) so the violating
+        # tail doesn't pay the string construction or the storage bytes
+        F.when(screen_col, pass_out_col).alias("__yv_passout"),
+    )
+    if screen_materialize == "persist":
+        from yaschva_spark.cache import persist_tracked
+
+        scr = persist_tracked(scr)
+    proven = scr.filter(F.col("__yv_screen")).select(
+        *keep,
+        F.lit(True).alias(PASS_COL),
+        F.array().cast(VIOLATION_DDL).alias(VIOLATIONS_COL),
+        F.col("__yv_passout").alias("yv_output"),
+    )
+    tail = (
+        scr.filter(~F.col("__yv_screen"))
+        .select(*need)
+        .mapInPandas(run_batches, schema=out_ddl)
+    )
+    return proven.unionByName(tail)
