@@ -187,6 +187,39 @@ def _q_props_json_validation(spark, sf_dir):
     return explode_violations(validated, ["event_id"]).select("event_id", "path", "rule")
 
 
+#: the nested dynamic-path schema: nested object + $enum + bounded $number +
+#: $array — entirely inside the r3 jsonscreen fragment, so the bulk of the
+#: table is proven pass JVM-side and only the violating tail (zh docs and
+#: long docs) runs the interpreter
+NESTED_JSON_SCHEMA = {
+    "meta": {
+        "lang": {"$enum": ["en", "de", "fr", "es"]},
+        "n": {"$number": {"min": 0, "max": 350}},
+    },
+    "ids": {"$array": "integer"},
+}
+
+
+def _q_nested_json_validation(spark, sf_dir):
+    # DYNAMIC path over a NESTED JSON column (VERDICT r2 #2): the JSON text
+    # is built deterministically from documents columns (identically in the
+    # DuckDB oracle), validated with screen=True — the split plan routes
+    # screen-proven rows pure-JVM and interprets only the violating tail.
+    from yaschva_spark.engine import validate_json_table
+
+    docs = _t(spark, sf_dir, "documents")
+    js = F.concat(
+        F.lit('{"meta": {"lang": "'), F.col("lang"),
+        F.lit('", "n": '), F.col("n_chars").cast("string"),
+        F.lit('}, "ids": ['), F.col("doc_id").cast("string"), F.lit("]}"),
+    )
+    src = docs.select("doc_id", js.alias("js"))
+    validated = validate_json_table(
+        src, NESTED_JSON_SCHEMA, "js", keep_cols=["doc_id"], screen=True
+    )
+    return explode_violations(validated, ["doc_id"]).select("doc_id", "path", "rule")
+
+
 # --- training-data ops queries ---------------------------------------------
 def _q_exact_dup_props(spark, sf_dir):
     from yaschva_spark.ops import dedup
@@ -440,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_psi_drift": _q_lang_psi_drift,
         "numeric_profile_by_lang": _q_numeric_profile,
         "props_json_validation": _q_props_json_validation,  # dynamic mapInPandas path
+        "nested_json_validation": _q_nested_json_validation,  # nested screen + split plan
         "exact_dup_props": _q_exact_dup_props,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_near_dup": _q_minhash_near_dup,
@@ -909,6 +943,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, '$.k' AS path, 'num_above_max' AS rule
             FROM events
             WHERE json_extract(props, '$.k')::BIGINT > 50
+        """,
+        "nested_json_validation": """
+            SELECT doc_id, '$.meta.lang' AS path, 'enum_mismatch' AS rule
+            FROM documents
+            WHERE lang NOT IN ('en', 'de', 'fr', 'es')
+            UNION ALL
+            SELECT doc_id, '$.meta.n', 'num_above_max'
+            FROM documents
+            WHERE n_chars > 350
         """,
         "doc_column_stats": """
             SELECT 'doc_id' AS "column", count(*) AS n_rows,

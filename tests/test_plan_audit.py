@@ -17,6 +17,7 @@ SF = "/root/testdata/sf0.001"
 # operators whose design includes an Arrow-batched kernel (and why):
 PANDAS_STAGES_OK = {
     "props_json_validation",   # interpreter tail over the VARIANT screen
+    "nested_json_validation",  # split plan: interpreter tail only (proven rows pure JVM)
     "ks_drift_by_lang",        # per-group ECDF kernel (applyInPandas)
     "cosine_topk",             # batched GEMM scoring
     "ann_lsh_topk",            # hyperplane sign-bit GEMM
