@@ -588,6 +588,55 @@ def test_prefix_filter_random_corpus(spark):
         assert fast == naive, th
 
 
+def test_candidate_sketch_and_rule():
+    # the decision rule against sketches TAKEN FROM the measured corpora
+    # (dedup.choose_candidate_plan docstring): naive must be chosen in every
+    # regime it was measured faster, prefix at both measured failure modes
+    flat = {"postings": 260388, "cand_pairs": 1.27e6, "max_df": 25}
+    mid = {"postings": 276940, "cand_pairs": 8.81e7, "max_df": 2493}
+    dead_volume = {"postings": 795935, "cand_pairs": 5.24e8, "max_df": 100}
+    dead_hotkey = {"postings": 795935, "cand_pairs": 1.0e8, "max_df": 7531}
+    assert dedup.choose_candidate_plan(flat, 32) == "naive"
+    assert dedup.choose_candidate_plan(mid, 32) == "naive"
+    assert dedup.choose_candidate_plan(dead_volume, 32) == "prefix"
+    assert dedup.choose_candidate_plan(dead_hotkey, 32) == "prefix"
+    # both quadratic terms flip to prefix under corpus scale-up at fixed
+    # parallelism: 10x the corpus is ~100x cand_pairs / ~10x max_df
+    scaled = {"postings": flat["postings"] * 10,
+              "cand_pairs": flat["cand_pairs"] * 100, "max_df": flat["max_df"] * 10}
+    assert dedup.choose_candidate_plan({**scaled, "cand_pairs": 5e9}, 32) == "prefix"
+
+
+def test_candidate_plan_auto(spark, docs):
+    # end-to-end: on the flat driver corpus the sketch picks naive; on the
+    # boilerplate Zipf fixture it picks prefix (the sketch crosses the
+    # hot-key budget) — and BOTH auto outputs equal the fixed naive plan
+    from tests.ziptext import zipf_corpus
+
+    sk_flat = dedup.candidate_sketch(
+        dedup.shingles(docs, "doc_id", "text", 3))
+    assert dedup.choose_candidate_plan(sk_flat, 32) == "naive"
+
+    zdf = zipf_corpus(spark, 800, boiler_frac=0.95, header_words=30).persist()
+    zdf.count()
+    sk_zipf = dedup.candidate_sketch(dedup.shingles(zdf, "doc_id", "text", 3))
+    # every boilerplate doc shares the header shingles: df ~ 0.95*n
+    assert sk_zipf["max_df"] > 700
+    assert dedup.choose_candidate_plan(
+        sk_zipf, 32, rows_per_task=1e5, hot_key_rows=2e5) == "prefix"
+    for corpus in (docs, zdf):
+        auto = {(r["i"], r["j"]): round(r["jaccard"], 9)
+                for r in dedup.ngram_jaccard_pairs(
+                    corpus, "doc_id", "text", n=3, threshold=0.5,
+                    candidate_plan="auto").collect()}
+        naive = {(r["i"], r["j"]): round(r["jaccard"], 9)
+                 for r in dedup.ngram_jaccard_pairs(
+                     corpus, "doc_id", "text", n=3, threshold=0.5,
+                     candidate_plan="naive").collect()}
+        assert auto == naive
+    zdf.unpersist()
+
+
 def test_tiled_near_dup_equals_broadcast_gemm(emb):
     exact = {
         (r["i"], r["j"], r["sim"])

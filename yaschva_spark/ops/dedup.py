@@ -211,6 +211,74 @@ def _pair_jaccard(sh: DataFrame, max_df: int | None = None) -> DataFrame:
     )
 
 
+def candidate_sketch(sh: DataFrame) -> dict:
+    """One-aggregation document-frequency sketch of a shingle table —
+    the cost model's whole input, from one shuffle over the inverted
+    index (no joins, no candidate generation):
+
+    * ``postings`` — |inverted index| = Σ df (the linear-in-corpus term
+      every candidate plan pays at least once);
+    * ``cand_pairs`` — Σ df·(df-1)/2, the EXACT row count of the naive
+      candidate self-join (double: at web scale this overflows a long);
+    * ``max_df`` — the hottest shingle's document frequency; its
+      df²/2 candidate rows land on ONE join key, i.e. one task.
+    """
+    inv = sh.select("id", F.explode("shingle_set").alias("shingle"))
+    row = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.sum("df").alias("postings"),
+            F.sum(F.col("df").cast("double") * (F.col("df") - 1) / 2).alias("cand"),
+            F.max("df").alias("max_df"),
+        )
+        .collect()[0]
+    )
+    return {
+        "postings": int(row["postings"] or 0),
+        "cand_pairs": float(row["cand"] or 0.0),
+        "max_df": int(row["max_df"] or 0),
+    }
+
+
+#: Measured naive-join budgets (local[32], 32 shuffle partitions — scale
+#: with the cluster via the ``shuffle_partitions`` argument). The naive
+#: count-join streamed 88M candidates in 1.9 s (2.75M rows/task) but did
+#: not finish 524M in 14 min: its groupBy(i,j) hash aggregate exceeds task
+#: memory and collapses into spill (16.4M rows/task), and the hottest
+#: shingle alone put 28M rows on one un-splittable join key. The budgets
+#: sit between the measured good and dead points, LOW on purpose: picking
+#: prefix when naive would have won costs ~2x (extra shuffles over the
+#: postings), picking naive past the cliff costs 100x+.
+NAIVE_ROWS_PER_TASK = 4_000_000
+NAIVE_HOT_KEY_ROWS = 8_000_000
+
+
+def choose_candidate_plan(
+    sketch: dict,
+    shuffle_partitions: int,
+    rows_per_task: float = NAIVE_ROWS_PER_TASK,
+    hot_key_rows: float = NAIVE_HOT_KEY_ROWS,
+) -> str:
+    """Pick the lossless candidate plan (``'naive'`` or ``'prefix'``) from
+    a :func:`candidate_sketch`. Naive wins while its candidate volume fits
+    the aggregate's memory (measured: it streams candidates ~10x cheaper
+    per row than the prefix plan's three extra shuffles cost per posting);
+    it falls off a cliff when either (a) candidate rows per task exceed
+    the hash-aggregate budget — spill — or (b) the hottest shingle's
+    df²/2 rows, which hash to ONE task regardless of parallelism, exceed
+    the straggler budget. Both terms grow quadratically with corpus scale
+    against the sketch's linear ``postings``, so at 100 TB this always
+    says prefix; the sketch exists for the mid-scale corpora where naive
+    is still the right call."""
+    hot = sketch["max_df"] * (sketch["max_df"] - 1) / 2
+    if sketch["cand_pairs"] > rows_per_task * max(shuffle_partitions, 1):
+        return "prefix"
+    if hot > hot_key_rows:
+        return "prefix"
+    return "naive"
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -219,28 +287,50 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     prefix_filter: bool = False,
+    candidate_plan: str | None = None,
 ) -> DataFrame:
     """EXACT near-duplicate pairs: word n-gram Jaccard >= threshold.
     Output (i, j, jaccard) with i < j.
 
-    ``prefix_filter=True`` switches to positional prefix filtering
-    (:func:`_prefix_jaccard`) — LOSSLESS candidate pruning (output equals
-    the naive inverted index for every threshold; asserted in tests).
-    Regime note (measured at sf0.1): the synthetic corpus has a flat,
-    low document-frequency distribution, so the naive count-join is ~2x
-    faster there (3.9 s vs 1.8 s — the prefix plan pays 3 extra shuffles
-    for candidates that were never the bottleneck); on natural text,
-    where Zipfian shingles make a few df≈n shingles dominate the
-    candidate join, prefix filtering is the standard 10-100x reducer.
-    Flip it on when the df distribution is heavy; ``max_df`` (implies the
-    naive candidate shape) is the blunt cap for the extreme case, and
-    :func:`minhash_lsh_pairs` the sub-quadratic path when even exact
-    candidates are too many."""
+    ``candidate_plan`` selects the (lossless) candidate generator:
+
+    * ``'naive'`` — inverted-index count-join (:func:`_pair_jaccard`);
+    * ``'prefix'`` — positional prefix filtering (:func:`_prefix_jaccard`),
+      output equal for every threshold (asserted in tests);
+    * ``'auto'`` — run :func:`candidate_sketch` (one extra aggregation
+      over the persisted shingle table) and decide via
+      :func:`choose_candidate_plan`; callers who know their corpus pass
+      the plan explicitly and skip the sketch job;
+    * ``None`` (default) — legacy flags: ``prefix_filter=True`` means
+      ``'prefix'``, else ``'naive'``.
+
+    Measured regimes (local[32], Zipf+boilerplate fixtures,
+    tests/ziptext.py): flat df (sf0.1 documents, Σdf²/2 = 1.3M) naive
+    3.0 s / prefix 8.2 s; mid-skew (88M candidates) naive 1.9 s / prefix
+    3.0 s; heavy boilerplate (524M candidates, hottest shingle df=7531 →
+    28M rows on one key) prefix 8.9 s while naive DID NOT FINISH in
+    14 min — the naive groupBy aggregate spills and the hot key
+    serializes. The auto rule budgets exactly those two failure modes.
+    ``max_df`` (implies the naive candidate shape) is the blunt
+    *approximate* cap for corpora beyond even prefix's reach, and
+    :func:`minhash_lsh_pairs` the sub-quadratic escape."""
     # feeds index + size branches; registered so callers can release it via
     # cache.unpersist_intermediates() after their action (the returned df is
     # lazy, so the operator itself can never unpersist)
+    if candidate_plan not in (None, "auto", "naive", "prefix"):
+        raise ValueError(f"candidate_plan: {candidate_plan!r}")
     sh = persist_tracked(shingles(df, id_col, text_col, n))
-    if prefix_filter and max_df is None and threshold > 0:
+    if candidate_plan is None:
+        plan = "prefix" if (prefix_filter and max_df is None and threshold > 0) else "naive"
+    elif candidate_plan == "auto":
+        if max_df is not None or threshold <= 0:
+            plan = "naive"  # prefix needs a positive threshold; max_df caps imply naive
+        else:
+            parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            plan = choose_candidate_plan(candidate_sketch(sh), parts)
+    else:
+        plan = candidate_plan
+    if plan == "prefix":
         inv = sh.select("id", F.explode("shingle_set").alias("shingle"))
         pairs = _prefix_jaccard(sh, threshold, inv)
     else:
