@@ -85,21 +85,44 @@ def main() -> None:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
+    # paired-probe protocol (VERDICT r2 #6): this host has multi-minute
+    # ambient slow windows external to the JVM — raw reps routinely swing
+    # 5-10x inside one bench invocation (44s..4.6s on the same build), so
+    # neither median (rides the noise) nor min (gameable, certifies only
+    # the luckiest window) of raw walls is defensible alone. Instead each
+    # rep is PAIRED with a pure-CPU probe run in the same JVM immediately
+    # before it — the same probe expression the scaling harness uses
+    # (sha2 -> bit_xor over spark.range: codegen only, no I/O, shuffle, or
+    # Python) — which measures what the host was actually handing the JVM
+    # in that window. Each pipeline wall is deflated by its window's
+    # measured ambient factor (probe_i / min probe_i), and the headline is
+    # the MEDIAN of the normalized walls: noise-robust like pairing,
+    # median-honest unlike min. Raw reps + probe walls ride along.
+    from pyspark.sql import functions as F
+
+    cores = os.cpu_count() or 32
+    probe_df = spark.range(0, 20_000_000, 1, 4 * cores)
+    probe_expr = F.bit_xor(
+        F.conv(F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 15), 16, 10)
+        .cast("long")
+    )
+
+    def _probe() -> float:
+        t0 = time.monotonic()
+        probe_df.agg(probe_expr).collect()
+        return time.monotonic() - t0
+
     result = _run_pipeline()  # warmup
-    runs = []
+    _probe()  # probe warmup (JIT)
+    runs, probes = [], []
     for _ in range(5):
-        # 5 reps (queries use 3): the pipeline is the headline metric and
-        # this host has multi-minute ambient slow windows (load spikes
-        # external to the JVM) — reps routinely swing 5x inside one bench
-        # invocation (e.g. 44s..8.8s on the same build)
+        probes.append(_probe())
         t0 = time.monotonic()
         result = _run_pipeline()
         runs.append(time.monotonic() - t0)
-    # headline = MIN of the reps: on a host with external stall windows the
-    # minimum approximates the uncontended cost of the build (the standard
-    # noise-robust wall-time statistic); the median and all raw reps ride
-    # along so a reader can see the ambient spread
-    pipeline_sec = min(runs)
+    probe_floor = min(probes)
+    normalized = sorted(r * probe_floor / p for r, p in zip(runs, probes))
+    pipeline_sec = normalized[len(normalized) // 2]
     timings["validation_pipeline"] = round(pipeline_sec, 4)
 
     total = round(sum(timings.values()), 4)
@@ -122,7 +145,10 @@ def main() -> None:
                 # wall numbers against the load state they were taken in
                 "load_avg_1m": round(os.getloadavg()[0], 2),
                 "pipeline_runs_sec": [round(r, 3) for r in runs],
+                "probe_runs_sec": [round(p, 3) for p in probes],
                 "pipeline_median_sec": round(sorted(runs)[len(runs) // 2], 4),
+                # r2-comparable raw statistic (the old headline)
+                "pipeline_min_sec": round(min(runs), 4),
             }
         )
     )
