@@ -69,10 +69,15 @@ def exact_duplicates(
     return groups.join(sample, "content_hash").select("content_hash", "n", "min_id", "ids")
 
 
-#: Row-boundary chunk bound for the flattened Arrow kernels below: the
-#: widest intermediate is [64, N_flat] of 8-byte ints, so 2^17 flat
-#: elements caps it at 64 MB per chunk regardless of Arrow batch size.
-_FLAT_CHUNK = 1 << 17
+#: Row-boundary chunk bound for the flattened Arrow kernels below. Sized
+#: for CACHE RESIDENCY, not just memory: the widest intermediate is
+#: [64, N_flat] of 8-byte ints, and a measured sweep (2k..128k flat
+#: elements, 5000 docs x 40-120 tokens) showed DRAM-streaming chunks
+#: (64 MB at 2^17) run 2-3x SLOWER than the old per-row loop whose
+#: [n_tokens, 64] tiles lived in L1 — while 2^11 (1 MB, L2-resident)
+#: beats the loop on both kernels. Chunking also bounds worst-case
+#: memory for huge documents regardless of Arrow batch size.
+_FLAT_CHUNK = 1 << 11
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
