@@ -245,6 +245,21 @@ def _q_minhash_near_dup(spark, sf_dir):
     return pairs.select("i", "j", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_duplicated_spans(spark, sf_dir):
+    # SPAN-level exact duplication (Lee et al. 2021 substring dedup,
+    # Spark-first): maximal token ranges of corpus-duplicated 8-gram
+    # windows. by_hash=True is the scale path (8-byte shuffle keys); the
+    # oracle groups by window TEXT — bit-identical output is asserted in
+    # tests (hash collisions are the only divergence, at 2^-64 per pair).
+    from yaschva_spark.ops import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicated_spans(docs, "doc_id", "text", n=8, min_df=2)
+    return spans.select(
+        F.col("id").alias("doc_id"), "span_start", "span_len", "n_dup_windows"
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from yaschva_spark.ops import dedup
 
@@ -477,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_props": _q_exact_dup_props,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_near_dup": _q_minhash_near_dup,
+        "duplicated_spans": _q_duplicated_spans,  # span-level substring dedup
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "dedup_keep": _q_dedup_keep,
@@ -943,6 +959,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, '$.k' AS path, 'num_above_max' AS rule
             FROM events
             WHERE json_extract(props, '$.k')::BIGINT > 50
+        """,
+        "duplicated_spans": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos, toks FROM w
+            ),
+            wins2 AS (
+              SELECT doc_id, pos,
+                     array_to_string(toks[pos+1:pos+8], ' ') AS win
+              FROM wins
+            ),
+            dup AS (SELECT win FROM wins2 GROUP BY win HAVING count(*) >= 2),
+            dpos AS (
+              SELECT doc_id, pos FROM wins2 WHERE win IN (SELECT win FROM dup)
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) <= 8
+                          THEN 0 ELSE 1 END AS brk
+              FROM dpos
+            ),
+            grp AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS g
+              FROM isl
+            )
+            SELECT doc_id, min(pos) AS span_start,
+                   (max(pos) + 8 - min(pos)) AS span_len,
+                   count(*) AS n_dup_windows
+            FROM grp GROUP BY doc_id, g
         """,
         "nested_json_validation": """
             SELECT doc_id, '$.meta.lang' AS path, 'enum_mismatch' AS rule

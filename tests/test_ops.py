@@ -637,6 +637,49 @@ def test_candidate_plan_auto(spark, docs):
     zdf.unpersist()
 
 
+def test_duplicated_spans_hand_corpus(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),                    # shares 8-gram with doc 2
+        (2, "x y a b c d e f g h z"),
+        (3, "p q r s t u v w p q r s t u v w"),        # internal repeat -> one span
+        (4, "k l m"),                                  # shorter than n: no windows
+        (5, "a b c d e f g h u1 u2 u3 u4 u5 u6 u7 u8 u9 p q r s t u v w"),  # two islands
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id"], r["span_start"], r["span_len"], r["n_dup_windows"])
+        for r in dedup.duplicated_spans(df, "doc_id", "text", n=8).collect()
+    }
+    want = {
+        (1, 0, 8, 1), (2, 2, 8, 1),
+        (3, 0, 16, 2),            # pos 0 and 8 merge: 8 - 0 <= n
+        (5, 0, 8, 1), (5, 17, 8, 1),  # u1..u9 filler puts the second island at 17
+    }
+    assert got == want
+    # hash and text grouping produce identical spans
+    got_txt = {
+        (r["id"], r["span_start"], r["span_len"], r["n_dup_windows"])
+        for r in dedup.duplicated_spans(df, "doc_id", "text", n=8, by_hash=False).collect()
+    }
+    assert got_txt == want
+    # doc 5 makes both shared 8-grams df=3, so min_df=3 keeps all spans...
+    assert dedup.duplicated_spans(df, "doc_id", "text", n=8, min_df=3).count() == 5
+    # ...and min_df above every window frequency yields none
+    assert dedup.duplicated_spans(df, "doc_id", "text", n=8, min_df=4).count() == 0
+
+
+def test_duplicated_spans_on_documents(spark, docs):
+    spans = dedup.duplicated_spans(docs, "doc_id", "text", n=8).collect()
+    assert len(spans) > 0  # the corpus has injected near-dups
+    for r in spans:
+        assert r["span_len"] >= 8 and r["n_dup_windows"] >= 1
+        assert r["span_len"] == 8 + (r["span_len"] - 8)  # sanity: well-formed
+    a = {(r["id"], r["span_start"], r["span_len"])
+         for r in dedup.duplicated_spans(docs, "doc_id", "text", n=8, by_hash=False).collect()}
+    b = {(r["id"], r["span_start"], r["span_len"]) for r in spans}
+    assert a == b
+
+
 def test_tiled_near_dup_equals_broadcast_gemm(emb):
     exact = {
         (r["i"], r["j"], r["sim"])

@@ -16,6 +16,9 @@
 * :func:`simhash` / :func:`simhash_pairs` — 64-bit SimHash (token hashes
   JVM-side, bit-voting in a numpy batch kernel), banded by 16-bit chunks,
   Hamming-verified.
+* :func:`duplicated_spans` — SPAN-level substring dedup (Lee et al. 2021):
+  maximal token ranges of corpus-duplicated n-gram windows, via a df-count
+  aggregate (never a pair join) + per-document island merge.
 
 All operators take (df, id_col, text_col) and tokenize identically
 (whitespace split), so Spark results are reproducible in ANSI SQL oracles.
@@ -388,6 +391,82 @@ def _minhash_mix(rows: list, a, b) -> list:
                 out[i] = np.full(k, np.iinfo(np.int64).max)
         start = end
     return out
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_df: int = 2,
+    by_hash: bool = True,
+) -> DataFrame:
+    """SPAN-level exact duplication: maximal token ranges made entirely of
+    n-token windows that occur at least ``min_df`` times corpus-wide —
+    the Spark-first answer to suffix-array substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021,
+    arXiv:2107.06499). Doc-level operators (:func:`exact_duplicates`,
+    :func:`ngram_jaccard_pairs`) miss boilerplate spans pasted into
+    otherwise-unique documents; this finds the spans themselves.
+
+    Output: ``(id, span_start, span_len, n_dup_windows)`` — token offsets
+    (0-based, whitespace tokenization), span length in tokens, and the
+    count of duplicated windows merged into the span. Overlapping or
+    adjacent duplicated windows (next start within ``n`` of the previous)
+    merge into one maximal span.
+
+    Plan, all Catalyst: windows with positions from one
+    ``transform(sequence)`` projection; a groupBy counting each window's
+    corpus frequency (map-side combinable — a boilerplate window with
+    df=10^9 is ONE aggregate row, never a pair join, which is what makes
+    this the scale-safe shape: shuffle is ~tokens, nothing is quadratic,
+    unlike the candidate joins of the pair operators); a semi-join keeps
+    duplicated positions; a per-document window function merges islands.
+    ``by_hash=True`` groups windows by ``xxhash64`` (8-byte shuffle keys
+    instead of n-token strings; collisions at 2^-64 per pair of distinct
+    windows); ``by_hash=False`` groups by the window text — bit-identical
+    output (asserted in tests) and the form the DuckDB oracle replicates.
+    """
+    words = F.split(F.col(text_col), " ")
+    win_txt = F.concat_ws(" ", F.slice(F.col("__w"), F.col("pos") + 1, n))
+    win = F.xxhash64(win_txt) if by_hash else win_txt
+    wins = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.when(
+                    F.size(words) >= n,
+                    F.sequence(F.lit(0), F.size(words) - n),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+            words.alias("__w"),
+        )
+        .select("id", "pos", win.alias("win"))
+    )
+    wins = persist_tracked(wins)  # feeds both the df agg and the postings side
+    dup = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("win")
+    )
+    dpos = wins.join(dup, "win", "left_semi").select("id", "pos")
+    w_lag = Window.partitionBy("id").orderBy("pos")
+    isl = dpos.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w_lag) <= n, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("g", F.sum("brk").over(w_lag))
+    return (
+        isl.groupBy("id", "g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - F.min("pos")).alias("span_len"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+        .select("id", "span_start", "span_len", "n_dup_windows")
+    )
 
 
 def minhash_signatures(
