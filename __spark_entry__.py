@@ -260,6 +260,17 @@ def _q_duplicated_spans(spark, sf_dir):
     )
 
 
+def _q_strip_spans(spark, sf_dir):
+    # apply-side of duplicated_spans: boilerplate removal — drop every
+    # token covered by a corpus-duplicated span
+    from yaschva_spark.ops import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicated_spans(docs, "doc_id", "text", n=8, min_df=2)
+    out = dedup.strip_spans(docs, spans, "doc_id", "text")
+    return out.select(F.col("id").alias("doc_id"), "clean_text", "n_removed")
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from yaschva_spark.ops import dedup
 
@@ -493,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_near_dup": _q_minhash_near_dup,
         "duplicated_spans": _q_duplicated_spans,  # span-level substring dedup
+        "strip_spans": _q_strip_spans,            # its apply-side (boilerplate removal)
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "dedup_keep": _q_dedup_keep,
@@ -993,6 +1005,34 @@ def oracle_sql() -> dict[str, str]:
                    (max(pos) + 8 - min(pos)) AS span_len,
                    count(*) AS n_dup_windows
             FROM grp GROUP BY doc_id, g
+        """,
+        "strip_spans": """
+            WITH w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+            wins AS (SELECT doc_id, unnest(range(0, len(toks)-7)) AS pos, toks FROM w),
+            wins2 AS (SELECT doc_id, pos,
+                             array_to_string(toks[pos+1:pos+8],' ') AS win FROM wins),
+            dup AS (SELECT win FROM wins2 GROUP BY win HAVING count(*) >= 2),
+            dpos AS (SELECT doc_id, pos FROM wins2
+                     WHERE win IN (SELECT win FROM dup)),
+            isl AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER
+                           (PARTITION BY doc_id ORDER BY pos) <= 8
+                         THEN 0 ELSE 1 END AS brk FROM dpos),
+            grp AS (SELECT doc_id, pos,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS g FROM isl),
+            spans AS (SELECT doc_id, min(pos) AS s, max(pos)+8 AS e
+                      FROM grp GROUP BY doc_id, g),
+            pos_tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, toks FROM w),
+            tok AS (SELECT doc_id, pos, toks[pos+1] AS t FROM pos_tok),
+            keep AS (SELECT k.doc_id, k.pos, k.t FROM tok k WHERE NOT EXISTS
+                      (SELECT 1 FROM spans s WHERE s.doc_id = k.doc_id
+                         AND k.pos >= s.s AND k.pos < s.e)),
+            agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text,
+                           count(*) AS n_kept FROM keep GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                   (len(string_split(d.text,' ')) - coalesce(a.n_kept, 0)) AS n_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "nested_json_validation": """
             SELECT doc_id, '$.meta.lang' AS path, 'enum_mismatch' AS rule

@@ -680,6 +680,25 @@ def test_duplicated_spans_on_documents(spark, docs):
     assert a == b
 
 
+def test_strip_spans(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f g h z"),
+        (3, "p q r s t u v w p q r s t u v w"),
+        (4, "k l m"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.duplicated_spans(df, "doc_id", "text", n=8)
+    got = {r["id"]: (r["clean_text"], r["n_removed"])
+           for r in dedup.strip_spans(df, spans, "doc_id", "text").collect()}
+    assert got == {
+        1: ("i j", 8),
+        2: ("x y z", 8),
+        3: ("", 16),       # whole doc was duplicated
+        4: ("k l m", 0),   # untouched passthrough
+    }
+
+
 def test_tiled_near_dup_equals_broadcast_gemm(emb):
     exact = {
         (r["i"], r["j"], r["sim"])

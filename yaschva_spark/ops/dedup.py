@@ -469,6 +469,39 @@ def duplicated_spans(
     )
 
 
+def strip_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Apply-side of :func:`duplicated_spans`: remove every token covered
+    by a duplicated span (boilerplate removal — the "drop duplicated
+    text" step of a training-data pipeline). Output
+    ``(id, clean_text, n_removed)``; documents without spans pass through
+    unchanged with ``n_removed = 0``.
+
+    Plan: spans aggregate to one array per document (state ∝ that
+    document's own span count — the same order as the document row
+    itself), left-join back, and one Catalyst projection filters the
+    token array by position (`F.filter` with index) — no Python, no
+    extra shuffle beyond the per-id span agg."""
+    per_doc = spans.groupBy(F.col("id").alias("__sid")).agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("__spans")
+    )
+    joined = df.join(per_doc, F.col(id_col) == F.col("__sid"), "left").withColumn(
+        "__spans", F.coalesce(F.col("__spans"), F.array())
+    )
+    words = F.split(F.col(text_col), " ")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_start"] + s["span_len"]),
+    )
+    kept = F.filter(words, lambda w, i: ~covered(i))
+    return joined.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(words) - F.size(kept)).alias("n_removed"),
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
