@@ -41,6 +41,13 @@ NESTED_TRICKY = [
     '{"k": {"x": "v", "y": "w"}}', '{"k": {"x": 1, "y": "w"}}',
     '{"k": {"weird key!": "v"}}', '{"k": {"q\\"uote": "v"}}',
     '{"k": {"\\u00e9": "v"}}',
+    # keys ending in a line terminator: Java rlike '$' matches BEFORE a
+    # trailing terminator, so a '$'-anchored map-key guard would prove
+    # these rows and emit a raw newline into yv_output (invalid JSON,
+    # diverging from the interpreter's "a\\n"). Must screen false.
+    '{"k": {"a\\n": 1}}', '{"k": {"a\\r": "v"}}',
+    '{"k": {"a\\u0085": 1}}', '{"k": {"a\\u2028": "v"}}',
+    '{"k": {"a\\u2029": 1}}',
 ]
 
 
@@ -120,6 +127,10 @@ def test_not_applicable_shapes():
         {"k": {"$array": {"$map": "string"}}},
         # ECMA-only regex (untranslatable Unicode property) stays interpreted
         {"k": {"$string": {"regex": "\\p{Script=Greek}"}}},
+        # schema key ending in a line terminator: re '$' would match before
+        # the trailing '\n' and embed it verbatim in JSONPath/output text
+        {"abc\n": "number"},
+        {"abc\r": ["?", "string"]},
     ]:
         with pytest.raises(ScreenNotApplicable):
             compile_pass_screen(schema, F.lit('{"k": 1}'))

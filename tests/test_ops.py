@@ -200,6 +200,14 @@ def test_decode_real_libfree_formats():
     assert mm.decode_real("image", b"P6\n# a comment\n640 480\n255\n" + b"\0" * 10) == (640, 480, 1)
     assert mm.decode_real("image", b"P2 12 7 255 ") == (12, 7, 1)
     assert mm.decode_real("audio", _wav_fixture(2, 16, 1000)) == (2, 16, 1000)
+    # RIFF does not mandate chunk order: data before fmt is legal
+    block = 2 * 16 // 8
+    data = b"\x00" * (block * 250)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * block, block, 16)
+    body = b"WAVE" + b"data" + struct.pack("<I", len(data)) + data
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert mm.decode_real("audio", wav) == (2, 16, 250)
     with pytest.raises(ValueError):
         mm.decode_real("image", b"P6 oops")
 

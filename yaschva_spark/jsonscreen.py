@@ -87,12 +87,16 @@ MAX_SAFE = 2**53 - 1
 
 #: Keys the screen will address via JSONPath and emit into output text
 #: verbatim. Conservative on purpose (see module docstring).
-_SAFE_KEY = _re.compile(r"^[A-Za-z0-9_-]+$")
+_SAFE_KEY = _re.compile(r"\A[A-Za-z0-9_-]+\Z")
 
 #: Per-row guard for dynamic ($map) keys: printable ASCII without the two
 #: JSON-escape-relevant characters (``"`` and ``\``) — exactly the keys
 #: whose ``json.dumps(ensure_ascii=True)`` rendering is the key itself.
-_MAP_KEY_SAFE_RLIKE = "^[ !#-\\[\\]-~]*$"
+#: Anchored with \A/\z, never ^/$: Java regex '$' also matches before a
+#: trailing line terminator (\n, \r, U+0085, U+2028, U+2029), so a '$'-anchored
+#: pattern would let a key like "a\n" through and break the screen's
+#: byte-exact soundness contract (the interpreter emits "a\\n").
+_MAP_KEY_SAFE_RLIKE = "\\A[ !#-\\[\\]-~]*\\z"
 
 _MAX_DEPTH = 64
 

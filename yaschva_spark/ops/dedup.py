@@ -132,9 +132,13 @@ def _prefix_jaccard(sh: DataFrame, threshold: float, inv: DataFrame) -> DataFram
     double product can land one ulp HIGH (e.g. t=1/91, sz=273 gives
     3.0000000000000004), which would shorten the prefix / reject a
     qualifying size pair and break the lossless contract — so both bounds
-    subtract a 1e-9 epsilon first. The only effect of the epsilon on the
-    non-integer case is an occasionally one-longer prefix (more
-    candidates, never fewer); exact verification keeps values right."""
+    subtract an epsilon first. The ulp error is RELATIVE (~sz * 2^-52),
+    so the epsilon scales with ``sz``: an absolute 1e-9 stops covering a
+    one-ulp-high product beyond sz ~ 4.5e6 shingles, exactly the very
+    large documents the 100 TB design point cares about. The only effect
+    of the epsilon on the non-integer case is an occasionally one-longer
+    prefix (more candidates, never fewer); exact verification keeps
+    values right."""
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sizes = sh.select("id", F.size("shingle_set").alias("sz"))
     w = Window.partitionBy("id").orderBy("df", "shingle")
@@ -144,7 +148,9 @@ def _prefix_jaccard(sh: DataFrame, threshold: float, inv: DataFrame) -> DataFram
         .withColumn("rn", F.row_number().over(w))
         .filter(
             F.col("rn")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+            <= F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9) * F.col("sz"))
+            + 1
         )
         .select("id", "shingle", "sz")
     )
@@ -157,7 +163,8 @@ def _prefix_jaccard(sh: DataFrame, threshold: float, inv: DataFrame) -> DataFram
             & (F.col("a.id") < F.col("b.id"))
             & (
                 F.least(F.col("a.sz"), F.col("b.sz"))
-                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")) - F.lit(1e-9)
+                >= (F.lit(threshold) - F.lit(1e-9))
+                * F.greatest(F.col("a.sz"), F.col("b.sz"))
             ),
         )
         .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
@@ -340,7 +347,12 @@ def ngram_jaccard_pairs(
         if max_df is not None or threshold <= 0:
             plan = "naive"  # prefix needs a positive threshold; max_df caps imply naive
         else:
-            parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            spark = df.sparkSession
+            try:
+                # 'auto' under some AQE/vendor configs is a legal value here
+                parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except (TypeError, ValueError):
+                parts = spark.sparkContext.defaultParallelism
             plan = choose_candidate_plan(candidate_sketch(sh), parts)
     else:
         plan = candidate_plan

@@ -98,8 +98,7 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int]:
     """RIFF/WAVE chunk walk: (n_channels, bits_per_sample, n_samples)."""
     if len(payload) < 12 or payload[8:12] != b"WAVE":
         raise ValueError("WAV payload: missing RIFF/WAVE header")
-    n_channels = bits = block_align = None
-    n_samples = 0
+    n_channels = bits = block_align = data_size = None
     pos = 12
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -110,11 +109,13 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int]:
                 "<HHIIHH", payload, body
             )
         elif cid == b"data":
-            if block_align:
-                n_samples = size // block_align
+            data_size = size
         pos = body + size + (size & 1)  # chunks are word-aligned
     if n_channels is None:
         raise ValueError("WAV payload: no fmt chunk")
+    # RIFF does not order chunks: data may precede fmt, so derive
+    # n_samples only after the full walk, once block_align is known
+    n_samples = data_size // block_align if data_size and block_align else 0
     return int(n_channels), int(bits), int(n_samples)
 
 
