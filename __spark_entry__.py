@@ -290,7 +290,11 @@ def _q_dedup_clusters_star(spark, sf_dir):
 
 
 def _q_contamination(spark, sf_dir):
-    # decontamination: eval slice (doc_id < 25) probed against the rest
+    # decontamination: eval slice (doc_id < 25) probed against the rest.
+    # by_hash=True (default) is the scale path: the distinct-agg and the
+    # membership join exchange 8-byte xxhash64 keys instead of n-token
+    # strings; the output counts are hash-invariant, so the text-keyed
+    # DuckDB oracle matches (hash==text equality asserted in tests).
     from yaschva_spark.ops import dedup
 
     docs = _t(spark, sf_dir, "documents")

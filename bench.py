@@ -49,29 +49,67 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # Pure-CPU ambient-load probe (shared by the per-query section and the
+    # pipeline protocol below): sha2 -> bit_xor over spark.range — codegen
+    # only, no I/O, shuffle, or Python — measuring what the host was
+    # actually handing the JVM in that window.
+    from pyspark.sql import functions as F
+
+    cores = os.cpu_count() or 32
+    probe_expr = F.bit_xor(
+        F.conv(F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 15), 16, 10)
+        .cast("long")
+    )
+    probe_df = spark.range(0, 20_000_000, 1, 4 * cores)
+    # the per-query probe is 4x smaller (~0.4 s at floor) so pairing 3
+    # probes with each of the ~45 queries adds ~1 min, not ~4
+    q_probe_df = spark.range(0, 5_000_000, 1, 4 * cores)
+
+    def _probe_with(df) -> float:
+        t0 = time.monotonic()
+        df.agg(probe_expr).collect()
+        return time.monotonic() - t0
+
     # 1) driver-contract queries at the benchmark scale factor.
     # BASELINE.md protocol: exclude JIT/codegen warmup — one warmup run,
-    # then the median of 3 timed runs.
+    # then 3 timed reps, each PAIRED with a pure-CPU probe (r3 verdict #1:
+    # median-of-raw-reps inside one of this host's multi-minute ~50x stall
+    # windows produced a phantom 56x "regression" block in BENCH_r03 that
+    # the artifact could not adjudicate). Each rep deflates by its probe's
+    # ambient factor against the GLOBAL probe floor — global, not
+    # per-query, so a query whose 3 reps all land inside one stall window
+    # still normalizes correctly. Raw medians ride along for cross-round
+    # comparison.
     from yaschva_spark.cache import unpersist_intermediates
 
     def _timed(fn, reps=3):
         fn()  # warmup (JIT + page cache; materializes operator-internal
         # persists, which later reps reuse via CacheManager plan matching —
-        # the BASELINE.md protocol measures warm steady-state, and r1
-        # numbers were taken this way)
-        times = []
+        # the BASELINE.md protocol measures warm steady-state)
+        pairs = []
         for _ in range(reps):
+            p = _probe_with(q_probe_df)
             t0 = time.monotonic()
             fn()
-            times.append(time.monotonic() - t0)
+            pairs.append((time.monotonic() - t0, p))
         # release the operator-internal caches AFTER the reps so queries
         # don't leak pinned blocks into each other (the round-1 leak),
         # without changing the per-rep warm-cache measurement semantics
         unpersist_intermediates()
-        return round(sorted(times)[reps // 2], 4)
+        return pairs
 
+    _probe_with(q_probe_df)  # probe warmup (JIT)
+    q_pairs: dict[str, list[tuple[float, float]]] = {}
     for name, fn in entrymod.queries().items():
-        timings[name] = _timed(lambda f=fn: f(spark, sf_dir).count())
+        q_pairs[name] = _timed(lambda f=fn: f(spark, sf_dir).count())
+
+    q_probe_floor = min(p for pairs in q_pairs.values() for _, p in pairs)
+    raw_medians: dict[str, float] = {}
+    for name, pairs in q_pairs.items():
+        normalized = sorted(r * q_probe_floor / p for r, p in pairs)
+        timings[name] = round(normalized[len(normalized) // 2], 4)
+        raw = sorted(r for r, _ in pairs)
+        raw_medians[name] = round(raw[len(raw) // 2], 4)
 
     # 2) the north-rule validation pipeline over the code table
     code_path = _ensure_code_table(spark, bench_rows)
@@ -90,33 +128,16 @@ def main() -> None:
     # 5-10x inside one bench invocation (44s..4.6s on the same build), so
     # neither median (rides the noise) nor min (gameable, certifies only
     # the luckiest window) of raw walls is defensible alone. Instead each
-    # rep is PAIRED with a pure-CPU probe run in the same JVM immediately
-    # before it — the same probe expression the scaling harness uses
-    # (sha2 -> bit_xor over spark.range: codegen only, no I/O, shuffle, or
-    # Python) — which measures what the host was actually handing the JVM
-    # in that window. Each pipeline wall is deflated by its window's
-    # measured ambient factor (probe_i / min probe_i), and the headline is
-    # the MEDIAN of the normalized walls: noise-robust like pairing,
+    # rep is PAIRED with the pure-CPU probe run in the same JVM immediately
+    # before it; each pipeline wall is deflated by its window's measured
+    # ambient factor (probe_i / min probe_i), and the headline is the
+    # MEDIAN of the normalized walls: noise-robust like pairing,
     # median-honest unlike min. Raw reps + probe walls ride along.
-    from pyspark.sql import functions as F
-
-    cores = os.cpu_count() or 32
-    probe_df = spark.range(0, 20_000_000, 1, 4 * cores)
-    probe_expr = F.bit_xor(
-        F.conv(F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 15), 16, 10)
-        .cast("long")
-    )
-
-    def _probe() -> float:
-        t0 = time.monotonic()
-        probe_df.agg(probe_expr).collect()
-        return time.monotonic() - t0
-
     result = _run_pipeline()  # warmup
-    _probe()  # probe warmup (JIT)
+    _probe_with(probe_df)  # probe warmup (JIT)
     runs, probes = [], []
     for _ in range(5):
-        probes.append(_probe())
+        probes.append(_probe_with(probe_df))
         t0 = time.monotonic()
         result = _run_pipeline()
         runs.append(time.monotonic() - t0)
@@ -144,6 +165,13 @@ def main() -> None:
                 # slow windows (BENCH/BASELINE.md); readers should weigh
                 # wall numbers against the load state they were taken in
                 "load_avg_1m": round(os.getloadavg()[0], 2),
+                # raw (un-normalized) per-query medians + per-rep probe
+                # walls, for cross-round comparison and normalization audit
+                "queries_raw_median": raw_medians,
+                "query_probe_floor_sec": round(q_probe_floor, 4),
+                "query_probes_sec": {
+                    n: [round(p, 3) for _, p in pairs] for n, pairs in q_pairs.items()
+                },
                 "pipeline_runs_sec": [round(r, 3) for r in runs],
                 "probe_runs_sec": [round(p, 3) for p in probes],
                 "pipeline_median_sec": round(sorted(runs)[len(runs) // 2], 4),

@@ -865,6 +865,19 @@ def test_ngram_contamination_planted(spark):
     # appear in train
     assert got[1]["n_shingles"] == 4 and got[1]["n_contaminated"] == 2
     assert got[1]["contamination_rate"] == 0.5
+    # hash-keyed (8-byte shuffle keys) and text-keyed runs agree exactly
+    txt = {tuple(r) for r in
+           dedup.ngram_contamination(train, ev, "id", "t", by_hash=False).collect()}
+    assert {tuple(r) for r in got.values()} == txt
+
+
+def test_ngram_contamination_hash_equals_text_on_documents(spark, docs):
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    a = sorted(map(tuple, dedup.ngram_contamination(
+        docs, ev, "doc_id", "text", n=5, by_hash=True).collect()))
+    b = sorted(map(tuple, dedup.ngram_contamination(
+        docs, ev, "doc_id", "text", n=5, by_hash=False).collect()))
+    assert a == b
 
 
 def test_gopher_rules_flags(spark):

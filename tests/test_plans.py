@@ -112,3 +112,43 @@ def test_semdedup_single_shuffle(spark):
     # candidate-pair join exists anywhere in the plan
     assert p.count("Exchange") == 1, p
     assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_contamination_hash_mode_exchanges_long_keys(spark):
+    """by_hash=True must carry 8-byte xxhash64 keys through the
+    distinct-agg and membership join — never the n-token shingle strings
+    (the dominant exchange of this operator at corpus scale)."""
+    from yaschva_spark.ops.dedup import ngram_contamination
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train = docs.filter(F.col("doc_id") >= 25)
+    ev = docs.filter(F.col("doc_id") < 25)
+    import re
+
+    out = ngram_contamination(train, ev, "doc_id", "text", n=3, by_hash=True)
+    assert dict(out.select("*").drop("id").dtypes).get("sh") is None  # sh not in output
+    assert "xxhash64" in out._jdf.queryExecution().analyzed().toString()
+    # every exchange partitioning on sh carries a LONG column (plan strings
+    # suffix long attrs with L: sh#123L); a string key would lack the suffix
+    def _sh_exchanges(plan: str) -> list[str]:
+        return re.findall(r"Exchange hashpartitioning\(sh#\d+(L?)[,)]", plan)
+
+    keys = _sh_exchanges(_physical(out))
+    assert keys and all(k == "L" for k in keys), keys
+    # the text-keyed form exchanges strings — the shape by_hash avoids
+    p_txt = _physical(ngram_contamination(train, ev, "doc_id", "text", n=3, by_hash=False))
+    keys_txt = _sh_exchanges(p_txt)
+    assert keys_txt and all(k == "" for k in keys_txt), keys_txt
+
+
+def test_cosine_topk_window_sees_only_local_topk(spark):
+    """The global window must rank the kernel's parts x queries x k rows,
+    not corpus x queries scored rows: the per-partition top-k runs inside
+    the GEMM kernel and no join exists anywhere in the plan."""
+    from yaschva_spark.ops.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    p = _physical(cosine_topk(emb, queries, k=3))
+    assert "MapInPandas" in p
+    assert "Join" not in p, p

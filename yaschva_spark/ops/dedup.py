@@ -673,7 +673,12 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
 
 def ngram_contamination(
-    train: DataFrame, eval_df: DataFrame, id_col: str, text_col: str, n: int = 3
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    by_hash: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: for each eval document, the fraction of
     its distinct word n-grams appearing ANYWHERE in the training corpus —
@@ -682,19 +687,30 @@ def ngram_contamination(
 
     Scale shape: the training side collapses to its DISTINCT shingle set
     (one hash agg — no doc identity survives), and the membership probe is
-    a join keyed on the shingle string: shuffle ∝ distinct shingles, never
+    a join keyed on the shingle: shuffle ∝ distinct shingles, never
     doc x doc. At 10^12 rows the distinct-shingle table is the large
-    object — bucket both sides by shingle hash and the probe co-locates;
-    the per-eval-doc aggregation is map-side combinable. Eval documents
+    object and its exchange is this job's dominant cost — ``by_hash=True``
+    (default) keys both the distinct-agg and the membership join on
+    ``xxhash64(shingle)``: 8-byte shuffle keys instead of n-token strings
+    (~5-10x fewer exchange bytes at n=3 prose; collisions merge two
+    distinct shingles at 2^-64 per pair, which biases counts by at most
+    1 per collision). ``by_hash=False`` keys on the shingle text — equal
+    output (asserted in tests) and the form the DuckDB oracle replicates.
+    Bucket both sides by the key and the probe co-locates; the
+    per-eval-doc aggregation is map-side combinable. Eval documents
     shorter than n words have no shingles and are not reported."""
+    sh_key = F.xxhash64(F.col("sh")) if by_hash else F.col("sh")
     tr = (
         shingles(train, id_col, text_col, n)
         .select(F.explode("shingle_set").alias("sh"))
+        .select(sh_key.alias("sh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    ev = shingles(eval_df, id_col, text_col, n).select(
-        "id", F.explode("shingle_set").alias("sh")
+    ev = (
+        shingles(eval_df, id_col, text_col, n)
+        .select("id", F.explode("shingle_set").alias("sh"))
+        .select("id", sh_key.alias("sh"))
     )
     return (
         ev.join(tr, "sh", "left")

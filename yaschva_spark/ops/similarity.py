@@ -140,18 +140,74 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector (excluding itself).
 
-    Output: (query_id, neighbor_id, rank, sim). ``queries`` is broadcast —
-    the corpus is scanned once regardless of query count; scoring is one
-    numpy einsum per Arrow batch of (corpus x query) pairs.
+    Output: (query_id, neighbor_id, rank, sim).
+
+    Scale shape (r3 verdict #3): the query matrix ships to every partition
+    (a bounded driver collect — the query set is small by this operator's
+    contract, same order as the broadcast the old plan did), and each
+    corpus partition runs ONE ``block @ Q.T`` GEMM per Arrow batch while
+    keeping a running top-k per query ACROSS its batches — so only
+    ``partitions x queries x k`` rows ever leave Python, and the final
+    global window ranks that tiny set. The previous plan materialized all
+    ``corpus x queries`` scored rows through the window's exchange, which
+    is the job's dominant shuffle at corpus scale (10^9 corpus x 100
+    queries = 10^11 window-input rows vs ~10^5 here).
+
+    Local/global tie-break are identical (sim desc, neighbor_id asc), so
+    the per-partition truncation is lossless: any global top-k row is a
+    fortiori in its partition's top-k under the same total order.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    import numpy as np
+
+    qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).collect()
+    qrows.sort(key=lambda r: r["query_id"])  # collect order is plan-dependent
+    qids = [r["query_id"] for r in qrows]
+    Q = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    m = len(qids)
+    qid_arr = np.asarray(qids)
+
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("sim", T.DoubleType()),
+        ]
     )
+
+    def part_topk(batches):
+        # running (sim, neighbor_id) top-k per query, merged batch by batch
+        run_s = [np.empty(0, dtype=np.float64) for _ in range(m)]
+        run_i = [np.empty(0, dtype=object) for _ in range(m)]
+        for pdf in batches:
+            ids = pdf["neighbor_id"].to_numpy()
+            C = _mat(pdf["cv"])
+            S = (C @ Q.T) / (np.linalg.norm(C, axis=1)[:, None] * qn[None, :])
+            S[ids[:, None] == qid_arr[None, :]] = -np.inf  # exclude self
+            for j in range(m):
+                all_s = np.concatenate([run_s[j], S[:, j]])
+                all_i = np.concatenate([run_i[j], ids])
+                # sim desc, neighbor_id asc: stable id-asc sort, then
+                # stable sim-desc sort preserves the id order within ties
+                order = np.argsort(all_i, kind="stable")
+                order = order[np.argsort(-all_s[order], kind="stable")][:k]
+                run_s[j], run_i[j] = all_s[order], all_i[order]
+        n_out = sum(len(s) for s in run_s)
+        if n_out:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qid_arr, [len(s) for s in run_s]),
+                    "neighbor_id": np.concatenate(run_i),
+                    "sim": np.concatenate(run_s),
+                }
+            )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    local = c.mapInPandas(part_topk, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
