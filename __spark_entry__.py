@@ -215,7 +215,8 @@ def _q_nested_json_validation(spark, sf_dir):
     )
     src = docs.select("doc_id", js.alias("js"))
     validated = validate_json_table(
-        src, NESTED_JSON_SCHEMA, "js", keep_cols=["doc_id"], screen=True
+        src, NESTED_JSON_SCHEMA, "js", keep_cols=["doc_id"], screen=True,
+        observe="nested_json_validation",  # proven-fraction telemetry
     )
     return explode_violations(validated, ["doc_id"]).select("doc_id", "path", "rule")
 
@@ -424,6 +425,40 @@ def _q_split_counts(spark, sf_dir):
     )
 
 
+def _q_training_pipeline(spark, sf_dir):
+    # END-TO-END training-data pipeline (r3 verdict #6): span-level
+    # duplication detection -> boilerplate strip -> token-count quality
+    # gate -> deterministic hash split, aggregated per split. One job, so
+    # the island-merge window and the strip join are measured at bench
+    # scale inside the shape a real pipeline runs them in, not in
+    # isolation. Oracle: the strip CTE chain + the XXH64-replica split
+    # assignment as literals (same technique as split_counts).
+    from yaschva_spark.ops import dedup
+    from yaschva_spark.ops.split import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicated_spans(docs, "doc_id", "text", n=8, min_df=2)
+    cleaned = dedup.strip_spans(docs, spans, "doc_id", "text")
+    toks = cleaned.select(
+        "id",
+        "n_removed",
+        F.when(F.col("clean_text") == "", F.lit(0))
+        .otherwise(F.size(F.split("clean_text", " ")))
+        .alias("n_tokens"),
+    )
+    kept = toks.filter(F.col("n_tokens") >= 20)
+    labeled = hash_split(kept, "id", weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_removed").alias("n_removed"),
+        )
+        .select("split", "n_docs", "n_tokens", "n_removed")
+    )
+
+
 def _q_semdedup_pairs(spark, sf_dir):
     # cluster-scoped near-dup: inject the deterministic local k-means
     # quantizer (k=8) so the DuckDB oracle shares the identical centroids
@@ -522,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_tiled": _q_embedding_near_dup_tiled,
         "semdedup_pairs": _q_semdedup_pairs,
         "split_counts": _q_split_counts,
+        "training_pipeline": _q_training_pipeline,  # spans->strip->gate->split, end to end
         "asset_features": _q_asset_features,
         "token_counts": _q_token_counts,
         "simhash_pairs": _q_simhash_pairs,
@@ -808,6 +844,61 @@ def _split_counts_sql(seed: int = 7) -> str:
         SELECT s AS split, l AS lang, n::BIGINT AS n
         FROM (VALUES
           {vals}) t(s, l, n)
+    """
+
+
+def _training_pipeline_sql(seed: int = 7) -> str:
+    """Full-algorithm DuckDB replication of the training pipeline: the
+    strip_spans CTE chain computes per-doc kept/removed token counts, the
+    split assignment comes from the independent pure-Python XXH64 replica
+    (yaschva_spark.xxh64) emitted as (doc_id, split) literals."""
+    import pandas as pd
+
+    from yaschva_spark.ops.split import replica_split
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    pdf = pd.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id"]
+    )
+    vals = ",\n          ".join(
+        f"({int(i)}, '{replica_split(int(i), weights, seed)}')"
+        for i in sorted(pdf["doc_id"])
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        wins AS (SELECT doc_id, unnest(range(0, len(toks)-7)) AS pos, toks FROM w),
+        wins2 AS (SELECT doc_id, pos,
+                         array_to_string(toks[pos+1:pos+8],' ') AS win FROM wins),
+        dup AS (SELECT win FROM wins2 GROUP BY win HAVING count(*) >= 2),
+        dpos AS (SELECT doc_id, pos FROM wins2
+                 WHERE win IN (SELECT win FROM dup)),
+        isl AS (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER
+                       (PARTITION BY doc_id ORDER BY pos) <= 8
+                     THEN 0 ELSE 1 END AS brk FROM dpos),
+        grp AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS g FROM isl),
+        spans AS (SELECT doc_id, min(pos) AS s, max(pos)+8 AS e
+                  FROM grp GROUP BY doc_id, g),
+        pos_tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos FROM w),
+        cnt AS (SELECT t.doc_id, count(*) AS n_kept FROM pos_tok t
+                WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos < s.e)
+                GROUP BY t.doc_id),
+        cleaned AS (SELECT d.doc_id,
+                           coalesce(c.n_kept, 0) AS n_tokens,
+                           len(string_split(d.text,' ')) - coalesce(c.n_kept, 0)
+                             AS n_removed
+                    FROM documents d LEFT JOIN cnt c USING (doc_id)),
+        sp AS (SELECT * FROM (VALUES
+          {vals}) v(doc_id, split))
+        SELECT sp.split, count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS n_tokens,
+               sum(n_removed)::BIGINT AS n_removed
+        FROM cleaned JOIN sp USING (doc_id)
+        WHERE n_tokens >= 20
+        GROUP BY sp.split
     """
 
 
@@ -1203,6 +1294,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semdedup_pairs": _semdedup_sql(),
         "split_counts": _split_counts_sql(),
+        "training_pipeline": _training_pipeline_sql(),
         "exact_dup_props": """
             SELECT sha256(props) AS content_hash, count(*) AS n,
                    min(event_id) AS min_id

@@ -103,6 +103,16 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         q_pairs[name] = _timed(lambda f=fn: f(spark, sf_dir).count())
 
+    # screen-coverage telemetry: the dynamic split plan's win is the
+    # proven fraction (rows that never cross Arrow) — log it per round
+    from yaschva_spark.engine import screen_coverage
+
+    coverage = {
+        n: cov
+        for n in ("nested_json_validation",)
+        if (cov := screen_coverage(n)) is not None
+    }
+
     q_probe_floor = min(p for pairs in q_pairs.values() for _, p in pairs)
     raw_medians: dict[str, float] = {}
     for name, pairs in q_pairs.items():
@@ -168,6 +178,7 @@ def main() -> None:
                 # raw (un-normalized) per-query medians + per-rep probe
                 # walls, for cross-round comparison and normalization audit
                 "queries_raw_median": raw_medians,
+                "screen_coverage": coverage,
                 "query_probe_floor_sec": round(q_probe_floor, 4),
                 "query_probes_sec": {
                     n: [round(p, 3) for _, p in pairs] for n, pairs in q_pairs.items()

@@ -83,3 +83,23 @@ def test_dynamic_violation_rows(spark):
     assert by_id["ok"][PASS_COL] is True and by_id["ok"]["yv_violations"] == []
     rules = [v["rule"] for v in by_id["bad"]["yv_violations"]]
     assert "not_integer" in rules and "union_mismatch" in rules
+
+
+def test_screen_coverage_telemetry(spark):
+    """The split plan's observe() metrics report the proven fraction for
+    free (no extra pass), and the nested driver query's fraction is pinned
+    so a screen-fragment regression (rows silently falling back to the
+    interpreter) shows up here, not as a bench mystery."""
+    from yaschva_spark.cache import unpersist_intermediates
+    from yaschva_spark.engine import screen_coverage
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["nested_json_validation"](spark, "/root/testdata/sf0.001")
+    n_viol = df.count()
+    cov = screen_coverage("nested_json_validation")
+    unpersist_intermediates()
+    assert n_viol == 285
+    assert cov == {"n_rows": 500, "n_proven": 243, "proven_fraction": 0.486}
+    # unknown / unobserved names answer None, never a stale observation
+    assert screen_coverage("no_such_observation") is None

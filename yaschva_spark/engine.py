@@ -41,6 +41,30 @@ from yaschva_spark.typed import (
 PASS_COL = "yv_valid"
 VIOLATIONS_COL = "yv_violations"
 
+#: screen-coverage observations (see :func:`validate_json_table` ``observe``
+#: and :func:`screen_coverage`), keyed by the caller-chosen name
+_SCREEN_OBS: dict[str, Any] = {}
+
+
+def screen_coverage(name: str) -> dict[str, Any] | None:
+    """Screen-coverage telemetry for a prior
+    ``validate_json_table(..., observe=name)`` call: ``{"n_rows", "n_proven",
+    "proven_fraction"}``, or None if the named observation doesn't exist
+    (screen off / schema unscreenable / not yet requested). Blocks until
+    the observed DataFrame's first action if one is in flight — call after
+    the action. The split plan's win is exactly this fraction (proven rows
+    never cross Arrow), so jobs should log it; ``bench.py`` does."""
+    obs = _SCREEN_OBS.get(name)
+    if obs is None:
+        return None
+    m = obs.get
+    n, proven = int(m["n_rows"]), int(m["n_proven"] or 0)
+    return {
+        "n_rows": n,
+        "n_proven": proven,
+        "proven_fraction": round(proven / n, 6) if n else None,
+    }
+
 
 def validate_table(
     df: DataFrame,
@@ -105,6 +129,7 @@ def validate_json_table(
     keep_cols: list[str] | None = None,
     screen: bool = True,
     screen_materialize: str = "persist",
+    observe: str | None = None,
 ) -> DataFrame:
     """Dynamic path: validate a JSON-text column with exact reference
     semantics via the interpreter, Arrow batch at a time.
@@ -157,8 +182,15 @@ def validate_json_table(
     (measured 4x at sf0.1) — inputs with fewer partitions than
     ``defaultParallelism`` are repartitioned up front (the shuffled
     projection is just ``keep + json``; no-op at scale).
+
+    ``observe="name"`` attaches a CollectMetrics node to the screened
+    projection (zero extra passes) counting rows and proven rows; read it
+    after the first action via :func:`screen_coverage`. No-op when the
+    screen is off or the schema is unscreenable.
     """
     check_schema(schema)
+    if observe is not None:
+        _SCREEN_OBS.pop(observe, None)  # a stale observation must not answer
     keep = keep_cols if keep_cols is not None else [c for c in df.columns]
     schema_blob = json.dumps(schema)  # ship the schema to executors as text
     if screen_materialize not in ("persist", "recompute"):
@@ -233,6 +265,20 @@ def validate_json_table(
         # tail doesn't pay the string construction or the storage bytes
         F.when(screen_col, pass_out_col).alias("__yv_passout"),
     )
+    if observe is not None:
+        # free telemetry: a CollectMetrics node on the screened projection
+        # (the split plan's win IS this fraction; see screen_coverage())
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        scr = scr.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(F.col("__yv_screen"), F.lit(False)).cast("long")).alias(
+                "n_proven"
+            ),
+        )
+        _SCREEN_OBS[observe] = obs
     if screen_materialize == "persist":
         from yaschva_spark.cache import persist_tracked
 

@@ -146,7 +146,9 @@ def decode_real(kind: str, payload: bytes) -> tuple[int, int, int]:
 def _stub_features(kind: str, digest_hex: str) -> tuple[int, int, int]:
     """Deterministic fake (width, height, n_frames) from the JVM-computed
     payload digest — stable stand-ins so downstream plumbing (schemas,
-    joins, aggregations) is fully testable without media libs."""
+    joins, aggregations) is fully testable without media libs. This is the
+    Python REFERENCE for the Catalyst expression :func:`decode_features`
+    compiles on the stub path (tests assert the two agree row-for-row)."""
     d = bytes.fromhex(digest_hex[:6])
     width = 16 + d[0] * 4
     height = 16 + d[1] * 4
@@ -155,16 +157,17 @@ def _stub_features(kind: str, digest_hex: str) -> tuple[int, int, int]:
 
 
 def decode_features(assets: DataFrame, use_stub: bool = True) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+    """Feature extraction over binary payloads.
 
     Digest and byte length are Catalyst built-ins (``sha2`` /
-    ``octet_length`` — JVM-side, no Python), so the pandas stage carries
-    only the decode itself. On the stub path not even the payload crosses
-    the Arrow boundary — the fake features derive from the JVM digest, so
-    per-row transfer is ~100 bytes regardless of payload size; the real
-    path ships payloads because the decoder must see the bytes. One pandas
-    call per Arrow batch; batch size is governed by the session's
-    ``arrow.maxRecordsPerBatch``."""
+    ``octet_length`` — JVM-side, no Python) on both paths. The stub path
+    is now PURE Catalyst (r3 verdict #4): :func:`_stub_features` is
+    hex-substring arithmetic on the digest, which ``conv(substring(...),
+    16, 10)`` expresses directly — no Python stage exists in its plan at
+    all (asserted in tests/test_plan_audit.py). The real path ships
+    payloads through one Arrow-batched ``mapInPandas`` because the decoder
+    must see the bytes; its per-row loop is inherent (header parsing).
+    Batch size is governed by the session's ``arrow.maxRecordsPerBatch``."""
     base = assets.select(
         "asset_id",
         "kind",
@@ -172,29 +175,39 @@ def decode_features(assets: DataFrame, use_stub: bool = True) -> DataFrame:
         F.sha2(F.coalesce(F.col("payload"), F.lit(b"")), 256).alias("digest"),
         *([] if use_stub else ["payload"]),
     )
+    cols = ["asset_id", "kind", "n_bytes", "width", "height", "n_frames", "digest"]
+
+    if use_stub:
+        def hexbyte(pos: int):  # digest hex chars [pos, pos+2) as 0..255
+            return F.conv(F.substring("digest", pos + 1, 2), 16, 10).cast("int")
+
+        return base.select(
+            "asset_id",
+            "kind",
+            "n_bytes",
+            (F.lit(16) + hexbyte(0) * 4).alias("width"),
+            (F.lit(16) + hexbyte(2) * 4).alias("height"),
+            F.when(F.col("kind") == "image", F.lit(1))
+            .otherwise(F.lit(1) + hexbyte(4))
+            .alias("n_frames"),
+            "digest",
+        ).select(*cols)
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
             feats = {"width": [], "height": [], "n_frames": []}
-            if use_stub:
-                for kind, digest in zip(pdf["kind"], pdf["digest"]):
-                    w, h, nf = _stub_features(kind, digest)
-                    feats["width"].append(w)
-                    feats["height"].append(h)
-                    feats["n_frames"].append(nf)
-            else:
-                for kind, payload in zip(pdf["kind"], pdf["payload"]):
-                    payload = bytes(payload) if payload is not None else b""
-                    w, h, nf = decode_real(kind, payload)
-                    feats["width"].append(w)
-                    feats["height"].append(h)
-                    feats["n_frames"].append(nf)
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                w, h, nf = decode_real(kind, payload)
+                feats["width"].append(w)
+                feats["height"].append(h)
+                feats["n_frames"].append(nf)
             out = pdf[["asset_id", "kind", "n_bytes"]].copy()
             out["width"] = feats["width"]
             out["height"] = feats["height"]
             out["n_frames"] = feats["n_frames"]
             out["digest"] = pdf["digest"]
-            yield out[["asset_id", "kind", "n_bytes", "width", "height", "n_frames", "digest"]]
+            yield out[cols]
 
     return base.mapInPandas(run, schema=FEATURE_DDL)
 
