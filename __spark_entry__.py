@@ -425,6 +425,73 @@ def _q_split_counts(spark, sf_dir):
     )
 
 
+def _q_streaming_replay(spark, sf_dir):
+    # STREAMING in the driver contract (r3 verdict #7): replay the
+    # documents table as a file stream through the incremental foreachBatch
+    # validation sink (availableNow, 4 staged files, 2 per trigger), then
+    # read the DURABLE violations + manifest tables back. Batch boundaries
+    # are an execution detail (file-assignment order), so the output
+    # exposes only batching-invariant facts: per-(path, rule) violation
+    # counts and the manifest totals — sums compose across batches, and
+    # bit_xor digests compose associatively, so the XOR of per-batch
+    # digests equals the whole-table digest the oracle computes directly.
+    import os
+    import tempfile
+
+    from yaschva_spark.streaming import incremental_validation_sink, read_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="yv_stream_q_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = read_stream(spark, src, docs.schema, max_files_per_trigger=2)
+    q = incremental_validation_sink(
+        stream, DOC_SCHEMA, out, id_cols=("doc_id",), content_col="text"
+    )
+    q.awaitTermination()
+
+    viol = spark.read.parquet(os.path.join(out, "violations")).filter(
+        F.col("batch_id") >= 0  # drop the schema-seed partition if present
+    )
+    man = spark.read.parquet(os.path.join(out, "manifest"))
+    per_rule = (
+        viol.groupBy("field_path", "rule")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.lit("violation").alias("kind"),
+            F.col("field_path").alias("key"),
+            "rule",
+            "value",
+        )
+    )
+    mrows = (
+        man.agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_invalid_rows").alias("n_invalid_rows"),
+            F.sum("n_violations").alias("n_violations"),
+            F.bit_xor("content_digest").alias("content_digest"),
+        )
+        .select(
+            F.explode(
+                F.create_map(
+                    F.lit("n_rows"), F.col("n_rows"),
+                    F.lit("n_invalid_rows"), F.col("n_invalid_rows"),
+                    F.lit("n_violations"), F.col("n_violations"),
+                    F.lit("content_digest"), F.col("content_digest"),
+                )
+            ).alias("key", "value")
+        )
+        .select(
+            F.lit("manifest").alias("kind"),
+            "key",
+            F.lit(None).cast("string").alias("rule"),
+            "value",
+        )
+    )
+    return per_rule.unionByName(mrows)
+
+
 def _q_training_pipeline(spark, sf_dir):
     # END-TO-END training-data pipeline (r3 verdict #6): span-level
     # duplication detection -> boilerplate strip -> token-count quality
@@ -558,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs": _q_semdedup_pairs,
         "split_counts": _q_split_counts,
         "training_pipeline": _q_training_pipeline,  # spans->strip->gate->split, end to end
+        "streaming_replay": _q_streaming_replay,    # foreachBatch sink replayed over files
         "asset_features": _q_asset_features,
         "token_counts": _q_token_counts,
         "simhash_pairs": _q_simhash_pairs,
@@ -1295,6 +1363,27 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_pairs": _semdedup_sql(),
         "split_counts": _split_counts_sql(),
         "training_pipeline": _training_pipeline_sql(),
+        # streaming sink replay: the durable tables must equal a direct
+        # batch computation — violation counts from the shared typed-path
+        # violation SQL; manifest totals recomputed whole-table (sums and
+        # the 60-bit sha256-prefix XOR digest are batching-invariant)
+        "streaming_replay": f"""
+            WITH v AS ({_DOC_VIOLATION_SQL}),
+            dg AS (SELECT ('0x' || substr(lower(sha256(text)), 1, 15))::BIGINT
+                     AS dig FROM documents WHERE text IS NOT NULL)
+            SELECT 'violation' AS kind, path AS key, rule,
+                   count(*)::BIGINT AS value
+            FROM v GROUP BY path, rule
+            UNION ALL
+            SELECT 'manifest', 'n_rows', NULL, count(*)::BIGINT FROM documents
+            UNION ALL
+            SELECT 'manifest', 'n_invalid_rows', NULL,
+                   count(DISTINCT doc_id)::BIGINT FROM v
+            UNION ALL
+            SELECT 'manifest', 'n_violations', NULL, count(*)::BIGINT FROM v
+            UNION ALL
+            SELECT 'manifest', 'content_digest', NULL, bit_xor(dig)::BIGINT FROM dg
+        """,
         "exact_dup_props": """
             SELECT sha256(props) AS content_hash, count(*) AS n,
                    min(event_id) AS min_id
