@@ -425,6 +425,74 @@ def _q_split_counts(spark, sf_dir):
     )
 
 
+def _pii_augmented_text():
+    # deterministic PII planted from doc columns — built IDENTICALLY in the
+    # DuckDB oracle (same technique as nested_json_validation's JSON text)
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 5 == 0, F.concat(F.lit(" contact user"), d.cast("string"),
+                                    F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit(" from 10.0."), (d % 256).cast("string"),
+                                    F.lit(".1"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" id 123-45-6789")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit(" call +14155550123")).otherwise(F.lit("")),
+    )
+
+
+def _q_pii_scrub(spark, sf_dir):
+    # PII redaction (training-data scrubbing pass): emails / IPv4s /
+    # SSN-shaped ids / phone runs planted deterministically, redacted by
+    # the pure-Catalyst pii_scrub projection; the oracle replays the SAME
+    # pattern list (generated from ops.text.PII_PATTERNS) in DuckDB RE2.
+    from yaschva_spark.ops import text as txt
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", _pii_augmented_text().alias("text"))
+    out = txt.pii_scrub(src, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "clean_text",
+        "n_email", "n_ipv4", "n_ssn", "n_phone",
+    )
+
+
+def _pii_scrub_sql() -> str:
+    """Oracle generated from the SAME pattern table the operator compiles
+    (ops.text.PII_PATTERNS): chained regexp_replace with the 'g' flag
+    (DuckDB replaces first-match-only by default) + per-pattern
+    regexp_extract_all counts on the input text."""
+    from yaschva_spark.ops.text import PII_PATTERNS
+
+    aug = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-6789' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN ' call +14155550123' ELSE '' END
+                 AS t
+        FROM documents
+    """
+    clean = "t"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    counts = ",\n               ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+        WITH aug AS ({aug})
+        SELECT doc_id,
+               {clean} AS clean_text,
+               {counts}
+        FROM aug
+    """
+
+
 def _q_streaming_replay(spark, sf_dir):
     # STREAMING in the driver contract (r3 verdict #7): replay the
     # documents table as a file stream through the incremental foreachBatch
@@ -626,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_counts": _q_split_counts,
         "training_pipeline": _q_training_pipeline,  # spans->strip->gate->split, end to end
         "streaming_replay": _q_streaming_replay,    # foreachBatch sink replayed over files
+        "pii_scrub": _q_pii_scrub,                  # email/IP/id/phone redaction
         "asset_features": _q_asset_features,
         "token_counts": _q_token_counts,
         "simhash_pairs": _q_simhash_pairs,
@@ -1363,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_pairs": _semdedup_sql(),
         "split_counts": _split_counts_sql(),
         "training_pipeline": _training_pipeline_sql(),
+        "pii_scrub": _pii_scrub_sql(),
         # streaming sink replay: the durable tables must equal a direct
         # batch computation — violation counts from the shared typed-path
         # violation SQL; manifest totals recomputed whole-table (sums and

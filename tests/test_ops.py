@@ -955,3 +955,30 @@ def test_simhash_pairs_exact_recall_for_any_bound(spark, docs):
         assert got == want, mh
     with pytest.raises(ValueError):
         dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=64)
+
+
+def test_pii_scrub_planted(spark):
+    from yaschva_spark.ops import text as txt
+
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.org or root@a.io thanks"),
+        (2, "server 192.168.1.254 and 10.0.0.1 up"),
+        (3, "ssn 123-45-6789 phone +14155550123"),
+        (4, "nothing sensitive here 1.2 v3"),
+        (5, "edge 999.999.999.999 still dotted-quad shaped"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r for r in txt.pii_scrub(df, "id", "t").collect()}
+    assert got[1]["clean_text"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert got[1]["n_email"] == 2 and got[1]["n_ipv4"] == 0
+    assert got[2]["clean_text"] == "server <IP> and <IP> up"
+    assert got[2]["n_ipv4"] == 2
+    assert got[3]["clean_text"] == "ssn <ID> phone <PHONE>"
+    assert got[3]["n_ssn"] == 1 and got[3]["n_phone"] == 1
+    assert got[4]["clean_text"] == rows[3][1]  # untouched
+    assert all(got[4][c] == 0 for c in ("n_email", "n_ipv4", "n_ssn", "n_phone"))
+    # the pattern is shape-based, not a validator: 999.* is redacted too
+    assert got[5]["n_ipv4"] == 1
+    # pure Catalyst: a projection with no shuffle and no Python stage
+    p = txt.pii_scrub(df, "id", "t")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Python" not in p and "Pandas" not in p

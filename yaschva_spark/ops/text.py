@@ -195,3 +195,38 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         weighted, F.lit(0).cast("long"), lambda acc, v: (acc + v) % FINGERPRINT_MOD
     )
     return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+
+
+#: PII redaction patterns, applied in order. Each is dialect-portable
+#: (identical semantics in Java regex and RE2/DuckDB: \b is the ASCII word
+#: boundary in both, no backrefs/lookaround), and the pattern CLASSES are
+#: textually disjoint (dotted quads / dashed ids / +digit runs / @-forms
+#: can't overlap), so per-pattern match counts taken on the ORIGINAL text
+#: equal the counts a sequential scrub sees — which is what lets an
+#: independent SQL oracle verify both the counts and the redacted text.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\+\d{9,15}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact common PII (emails, IPv4s, SSN-shaped ids, +international
+    phone runs) from a text column — the scrubbing pass a training-data
+    pipeline runs before anything leaves the raw zone. Output:
+    ``(id, clean_text, n_email, n_ipv4, n_ssn, n_phone)``.
+
+    Pure Catalyst projection (chained ``regexp_replace`` + per-pattern
+    ``regexp_count``): no shuffle, no Python, composes with the scan at
+    codegen speed — at 100 TB this runs at scan throughput like the other
+    text operators. Counts are per-pattern matches on the input text
+    (equal to sequential-scrub counts; see :data:`PII_PATTERNS`)."""
+    text = F.col(text_col)
+    clean = text
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(F.col(id_col).alias("id"), clean.alias("clean_text"), *counts)
