@@ -594,6 +594,130 @@ def _q_training_pipeline(spark, sf_dir):
     )
 
 
+#: stratified-sample driver-query fractions: downweight the dominant
+#: languages, keep a trickle of everything else (default 0.05)
+_STRATA_FRACTIONS = {"en": 0.5, "fr": 0.25, "es": 0.1}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    # deterministic per-stratum rebalancing: per-lang keep fractions over
+    # the id-hash bucket (id-stable like hash_split, unlike sampleBy's
+    # partition RNG). Output pins the kept IDENTITY set per lang (count +
+    # XOR of kept doc_ids), oracled by the pure-Python XXH64 replica.
+    from yaschva_spark.ops.split import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", "lang", _STRATA_FRACTIONS, default=0.05)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.bit_xor("doc_id").alias("id_xor"),
+    )
+
+
+def _stratified_sample_sql() -> str:
+    """Golden oracle from the independent XXH64 replica: every sf0.01
+    doc_id's keep decision replayed in pure Python, aggregated per lang."""
+    import pandas as pd
+
+    from yaschva_spark.ops.split import replica_keep
+
+    pdf = pd.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "lang"]
+    )
+    agg: dict = {}
+    for i, l in zip(pdf["doc_id"], pdf["lang"]):
+        if replica_keep(int(i), l, _STRATA_FRACTIONS, default=0.05):
+            n, x = agg.get(l, (0, 0))
+            agg[l] = (n + 1, x ^ int(i))
+    vals = ",\n          ".join(
+        f"('{l}', {n}, {x})" for l, (n, x) in sorted(agg.items())
+    )
+    return f"""
+        SELECT l AS lang, n::BIGINT AS n_kept, x::BIGINT AS id_xor
+        FROM (VALUES
+          {vals}) t(l, n, x)
+    """
+
+
+_CAP_PER_SOURCE = 15
+
+
+def _q_cap_per_stratum(spark, sf_dir):
+    # per-source cap (corpus mixing: "no more than N docs from any one
+    # source"): the cap smallest (id-hash bucket, id) rows per source win —
+    # deterministic under re-runs/repartitions/appends. chunks=4 exercises
+    # the skew-safe two-stage path; its output is provably identical to the
+    # single-window plan. Output pins the kept identity set per source.
+    from yaschva_spark.ops.split import cap_per_stratum
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = cap_per_stratum(docs, "doc_id", "source", _CAP_PER_SOURCE, chunks=4)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.bit_xor("doc_id").alias("id_xor"),
+    )
+
+
+def _cap_per_stratum_sql() -> str:
+    """Oracle: embed only the doc_id -> id-hash bucket map (pure-Python
+    XXH64 replica) as VALUES; DuckDB independently re-runs the windowed
+    rank-and-cap itself, so the selection LOGIC is cross-checked, not just
+    its result."""
+    import pandas as pd
+
+    from yaschva_spark.ops.split import replica_bucket
+
+    ids = pd.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id"]
+    )["doc_id"]
+    vals = ",".join(f"({int(i)},{replica_bucket(int(i))})" for i in ids)
+    return f"""
+        WITH h(doc_id, b) AS (VALUES {vals}),
+        ranked AS (
+          SELECT d.source, d.doc_id,
+                 row_number() OVER (PARTITION BY d.source
+                                    ORDER BY h.b, d.doc_id) AS rn
+          FROM documents d JOIN h USING (doc_id)
+        )
+        SELECT source, count(*)::BIGINT AS n_kept,
+               bit_xor(doc_id)::BIGINT AS id_xor
+        FROM ranked WHERE rn <= {_CAP_PER_SOURCE}
+        GROUP BY source
+    """
+
+
+_TOP_NGRAMS_N = 2
+_TOP_NGRAMS_K = 25
+
+
+def _q_top_ngrams(spark, sf_dir):
+    # corpus-wide n-gram heavy hitters (boilerplate/template diagnostic):
+    # explode -> map-side-combined count agg (exchange carries one row per
+    # DISTINCT gram) -> TakeOrderedAndProject top-k, deterministic ties.
+    from yaschva_spark.ops import text
+
+    return text.top_ngrams(
+        _t(spark, sf_dir, "documents"), "text", n=_TOP_NGRAMS_N, k=_TOP_NGRAMS_K
+    )
+
+
+def _top_ngrams_sql() -> str:
+    n, k = _TOP_NGRAMS_N, _TOP_NGRAMS_K
+    # toks[pos+1 : pos+n] is 1-based INCLUSIVE in DuckDB -> n elements;
+    # range(0, len-n+1) is empty when the doc is shorter than n tokens
+    return f"""
+        WITH w AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        g AS (
+          SELECT array_to_string(toks[pos+1 : pos+{n}], ' ') AS ngram
+          FROM (SELECT toks, unnest(range(0, len(toks)-{n}+1)) AS pos FROM w)
+        )
+        SELECT ngram, count(*)::BIGINT AS cnt FROM g
+        GROUP BY ngram
+        ORDER BY cnt DESC, ngram ASC
+        LIMIT {k}
+    """
+
+
 def _q_semdedup_pairs(spark, sf_dir):
     # cluster-scoped near-dup: inject the deterministic local k-means
     # quantizer (k=8) so the DuckDB oracle shares the identical centroids
@@ -695,6 +819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": _q_training_pipeline,  # spans->strip->gate->split, end to end
         "streaming_replay": _q_streaming_replay,    # foreachBatch sink replayed over files
         "pii_scrub": _q_pii_scrub,                  # email/IP/id/phone redaction
+        "stratified_sample": _q_stratified_sample,  # per-stratum id-stable rebalancing
+        "cap_per_stratum": _q_cap_per_stratum,      # per-source doc cap, skew-safe path
+        "top_ngrams": _q_top_ngrams,                # corpus n-gram heavy hitters
         "asset_features": _q_asset_features,
         "token_counts": _q_token_counts,
         "simhash_pairs": _q_simhash_pairs,
@@ -1433,6 +1560,9 @@ def oracle_sql() -> dict[str, str]:
         "split_counts": _split_counts_sql(),
         "training_pipeline": _training_pipeline_sql(),
         "pii_scrub": _pii_scrub_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "cap_per_stratum": _cap_per_stratum_sql(),
+        "top_ngrams": _top_ngrams_sql(),
         # streaming sink replay: the durable tables must equal a direct
         # batch computation — violation counts from the shared typed-path
         # violation SQL; manifest totals recomputed whole-table (sums and

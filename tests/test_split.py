@@ -62,3 +62,65 @@ def test_weight_validation():
     # non-normalized weights are normalized
     bounds = dict(sp._boundaries({"a": 2.0, "b": 2.0}))
     assert bounds["a"] == sp.GRANULARITY // 2 and bounds["b"] == sp.GRANULARITY
+
+
+def test_stratified_sample_matches_replica(spark):
+    from yaschva_spark.ops.split import replica_keep, stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fr = {"en": 0.5, "fr": 0.25, "es": 0.1}
+    kept = {r["doc_id"] for r in
+            stratified_sample(docs, "doc_id", "lang", fr, default=0.05).collect()}
+    for r in docs.select("doc_id", "lang").collect():
+        assert (r["doc_id"] in kept) == replica_keep(r["doc_id"], r["lang"], fr, 0.05), r
+    # unlisted strata take the default; default=0 drops them entirely
+    none_default = stratified_sample(docs, "doc_id", "lang", {"en": 1.0})
+    assert {r["lang"] for r in none_default.select("lang").distinct().collect()} == {"en"}
+    # pure projection/filter: no shuffle, no Python
+    p = stratified_sample(docs, "doc_id", "lang", fr)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in p and "Python" not in p
+
+
+def test_stratified_sample_validates_fractions(spark):
+    import pytest
+
+    from yaschva_spark.ops.split import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, default=-0.1)
+
+
+def test_cap_per_stratum_matches_replica_and_chunked(spark):
+    from yaschva_spark.ops.split import cap_per_stratum, replica_cap_keep
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r["doc_id"], r["source"]) for r in docs.select("doc_id", "source").collect()]
+    expect = replica_cap_keep(rows, cap=3)
+    got = {r["doc_id"] for r in cap_per_stratum(docs, "doc_id", "source", 3).collect()}
+    assert got == expect
+    # the skew-safe two-stage path is exact: identical kept set for any chunks
+    for c in (2, 4, 7):
+        chunked = {r["doc_id"] for r in
+                   cap_per_stratum(docs, "doc_id", "source", 3, chunks=c).collect()}
+        assert chunked == expect, c
+    # schema passthrough: output columns == input columns (no helper leakage)
+    assert cap_per_stratum(docs, "doc_id", "source", 3, chunks=4).columns == docs.columns
+    # cap larger than every stratum keeps everything; cap=0 keeps nothing
+    assert cap_per_stratum(docs, "doc_id", "source", 10**6).count() == docs.count()
+    assert cap_per_stratum(docs, "doc_id", "source", 0).count() == 0
+
+
+def test_cap_per_stratum_validates(spark):
+    import pytest
+
+    from yaschva_spark.ops.split import cap_per_stratum
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError):
+        cap_per_stratum(docs, "doc_id", "source", -1)
+    with pytest.raises(ValueError):
+        cap_per_stratum(docs, "doc_id", "source", 3, chunks=0)

@@ -108,3 +108,108 @@ def replica_split(id_value: int, weights: Mapping[str, float], seed: int = 7) ->
         if b < hi:
             return name
     raise AssertionError("unreachable: boundaries close at GRANULARITY")
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default: float = 0.0,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic per-stratum sample — the rebalancing step a training
+    pipeline runs when one language/source dominates the corpus: keep a
+    different fraction of each stratum, with :func:`hash_sample`'s id-hash
+    stability (re-runs, repartitions, retries, and appends all agree, and
+    a row's fate never depends on which other rows are present).
+
+    ``fractions`` maps stratum value -> keep fraction; strata not listed
+    (including NULL) keep ``default``. The per-stratum boundary compiles to
+    one CASE expression over the id-hash bucket — a pure projection/filter,
+    no shuffle, no sampling state, pushable to the scan. Unlike
+    ``df.sampleBy`` (partition-RNG: assignment moves with partitioning and
+    retries) this is replayable bit-for-bit by the pure-Python XXH64
+    replica, which is what the SQL oracle uses."""
+    for k, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0, 1]")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError("default fraction must be in [0, 1]")
+    hi = F.lit(int(round(default * GRANULARITY)))
+    expr = None
+    for k, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(k)
+        lim = F.lit(int(round(frac * GRANULARITY)))
+        expr = F.when(cond, lim) if expr is None else expr.when(cond, lim)
+    bound = hi if expr is None else expr.otherwise(hi)
+    return df.filter(_bucket_col(id_col, seed) < bound)
+
+
+def replica_keep(
+    id_value: int, stratum, fractions: Mapping[str, float],
+    default: float = 0.0, seed: int = 7,
+) -> bool:
+    """Pure-Python replica of :func:`stratified_sample`'s keep decision."""
+    frac = fractions.get(stratum, default)
+    return replica_bucket(id_value, seed) < int(round(frac * GRANULARITY))
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    cap: int,
+    seed: int = 7,
+    chunks: int = 1,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum — the per-domain/per-source cap
+    of corpus mixing (a fraction can't express "no more than N pages from
+    any one domain"; this can). Selection is deterministic: the ``cap``
+    smallest ``(id-hash bucket, id)`` rows of each stratum win, so re-runs
+    and repartitions agree exactly, and under appends a kept row is only
+    ever displaced by a lower-bucket newcomer — never reshuffled at random.
+
+    ``chunks=1`` runs one ``row_number`` window per stratum: correct
+    everywhere, but a dominant stratum serializes onto a single task (a
+    window partition is unsplittable). For skewed strata set ``chunks=C``:
+    stage 1 takes a local top-``cap`` per ``(stratum, bucket % C)`` — any
+    one task's window holds ~1/C of the stratum — and stage 2 ranks the
+    ≤ ``C*cap`` survivors per stratum. Exact for any C (the global top-cap
+    is contained in the union of per-chunk top-caps), same two-phase shape
+    as ``cosine_topk``'s local-heap → global-merge."""
+    from pyspark.sql import Window
+
+    if cap < 0:
+        raise ValueError("cap must be >= 0")
+    if chunks < 1:
+        raise ValueError("chunks must be >= 1")
+    out_cols = df.columns
+    dfb = df.withColumn("__b", _bucket_col(id_col, seed))
+    if chunks > 1:
+        w1 = Window.partitionBy(
+            strata_col, F.pmod(F.col("__b"), F.lit(chunks))
+        ).orderBy("__b", id_col)
+        dfb = (
+            dfb.withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+    w = Window.partitionBy(strata_col).orderBy("__b", id_col)
+    return (
+        dfb.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .select(*out_cols)
+    )
+
+
+def replica_cap_keep(rows, cap: int, seed: int = 7) -> set:
+    """Pure-Python replica of :func:`cap_per_stratum`: ``rows`` is an
+    iterable of ``(id, stratum)``; returns the set of kept ids."""
+    by_stratum: dict = {}
+    for i, s in rows:
+        by_stratum.setdefault(s, []).append((replica_bucket(int(i), seed), int(i)))
+    kept = set()
+    for lst in by_stratum.values():
+        kept.update(i for _, i in sorted(lst)[:cap])
+    return kept

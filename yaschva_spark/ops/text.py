@@ -1,8 +1,10 @@
 """Text analysis operators: token counting, quality scoring, language-ID
-heuristic, document fingerprinting. Pure Catalyst expressions end to end —
-each operator is a projection (no shuffle), so they compose with scans at
-full codegen speed and their semantics reproduce exactly in ANSI SQL
-(DuckDB oracles in __spark_entry__).
+heuristic, document fingerprinting, PII scrubbing, n-gram heavy hitters.
+Pure Catalyst expressions end to end — every per-document operator is a
+projection (no shuffle; the corpus-level ``top_ngrams`` adds one map-side
+combined count agg), so they compose with scans at full codegen speed and
+their semantics reproduce exactly in ANSI SQL (DuckDB oracles in
+__spark_entry__).
 """
 
 from __future__ import annotations
@@ -230,3 +232,38 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         counts.append(F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}"))
         clean = F.regexp_replace(clean, pat, repl)
     return df.select(F.col(id_col).alias("id"), clean.alias("clean_text"), *counts)
+
+
+def top_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — the heavy-hitters diagnostic
+    a pipeline runs to spot template boilerplate and degenerate sources
+    before dedup. Output: ``(ngram, cnt)``, the global top-``k`` ordered by
+    count desc then ngram asc (fully deterministic, ties included).
+
+    Scale shape: the explode is a projection; ``groupBy(ngram).count()`` is
+    a Catalyst partial+final hash agg, so the only exchange carries one row
+    per DISTINCT n-gram (map-side combine folds each task's repeats first —
+    boilerplate, the very thing being hunted, compresses best). The global
+    top-k executes as ``TakeOrderedAndProject``: each task keeps a k-heap
+    and the driver merges tasks×k rows — no global sort shuffle, ever."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    words = F.split(F.col(text_col), " ")
+    # same short-text guard as dedup.shingles: sequence(0, x) DESCENDS for
+    # x < 0, so short docs must short-circuit to an empty gram array
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
