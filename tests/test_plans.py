@@ -152,3 +152,45 @@ def test_cosine_topk_window_sees_only_local_topk(spark):
     p = _physical(cosine_topk(emb, queries, k=3))
     assert "MapInPandas" in p
     assert "Join" not in p, p
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """write_bucketed's co-location contract: two tables bucketed by the
+    same key into the same bucket count must SortMergeJoin with ZERO
+    Exchange (the bucketed scan provides the hashpartitioning) and, since
+    they're sortBy'd, zero per-task Sort."""
+    from yaschva_spark.io import write_bucketed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    left = docs.select("doc_id", "lang")
+    right = docs.select("doc_id", "n_chars")
+    for name, df in (("bkt_left", left), ("bkt_right", right)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed(df, name, ("doc_id",), 4, path=str(tmp_path / name))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "doc_id")
+        p = _physical(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p
+        assert joined.count() == docs.count()
+        # the un-bucketed control DOES exchange — the contract is doing work
+        ctrl = _physical(left.join(right, "doc_id"))
+        assert "Exchange" in ctrl, ctrl
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for name in ("bkt_left", "bkt_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_write_validates(spark, tmp_path):
+    import pytest
+
+    from yaschva_spark.io import write_bucketed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError):
+        write_bucketed(docs, "t", ("doc_id",), 0)
+    with pytest.raises(ValueError):
+        write_bucketed(docs, "t", (), 4)

@@ -45,3 +45,38 @@ def write_table(df: DataFrame, ref: str, mode: str = "append",
         writer.parquet(ref)
     else:
         writer.saveAsTable(ref)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: tuple[str, ...],
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed (+sorted) table write — the co-location contract for
+    repeated big-big joins. Two tables bucketed by the same keys into the
+    same bucket count join with ZERO exchange: the bucketed scan itself
+    reports the join's required hashpartitioning, and with ``sort=True``
+    the per-bucket sort order removes the SortMergeJoin's sorts too. At
+    100 TB this deletes the dominant shuffle of a fact-fact join from
+    every downstream job that reuses the layout — pay the partitioning
+    once at write time, amortize it across all consumers. Parquet bucketed
+    tables here; Iceberg ``bucket(N, key)`` partition transforms carry the
+    same contract at production (see the module header's config seam).
+
+    Bucketing is table metadata, so this is ``saveAsTable`` only (a bare
+    path write cannot record the bucket spec); pass ``path`` to keep the
+    data external to the warehouse dir."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if not keys:
+        raise ValueError("at least one bucket key is required")
+    writer = df.write.mode(mode).bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
