@@ -639,6 +639,55 @@ def _stratified_sample_sql() -> str:
     """
 
 
+def _q_stateful_totals(spark, sf_dir):
+    # applyInPandasWithState in the driver contract: replay documents as a
+    # file stream (availableNow, 2 files per trigger over 4), validate
+    # in-stream, and maintain cumulative per-lang totals in executor state.
+    # Update-mode emissions land in a parquet sink; because the totals are
+    # MONOTONE cumulative sums, max-per-key == the final state and batch
+    # boundaries (an execution detail) cancel out of the result — which is
+    # what lets a whole-table DuckDB aggregate oracle it.
+    import os
+    import tempfile
+
+    from yaschva_spark import streaming
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="yv_state_q_")
+    src = os.path.join(work, "src")
+    sink = os.path.join(work, "sink")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = streaming.read_stream(spark, src, docs.schema, max_files_per_trigger=2)
+    validated = streaming.validate_stream(stream, DOC_SCHEMA)
+    totals = streaming.stateful_violation_totals(validated, key_col="lang")
+    q = (
+        totals.writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(sink)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    agg = spark.read.parquet(sink).groupBy("key").agg(
+        F.max("n_rows_total").alias("n_rows_total"),
+        F.max("n_invalid_total").alias("n_invalid_total"),
+        F.max("n_violations_total").alias("n_violations_total"),
+    )
+    return agg.select(
+        F.col("key").alias("lang"),
+        "n_rows_total",
+        "n_invalid_total",
+        "n_violations_total",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_invalid_total") / F.greatest("n_rows_total", F.lit(1)),
+            6,
+        ).alias("pass_rate"),
+    )
+
+
 _CAP_PER_SOURCE = 15
 
 
@@ -818,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_counts": _q_split_counts,
         "training_pipeline": _q_training_pipeline,  # spans->strip->gate->split, end to end
         "streaming_replay": _q_streaming_replay,    # foreachBatch sink replayed over files
+        "stateful_totals": _q_stateful_totals,      # applyInPandasWithState final state
         "pii_scrub": _q_pii_scrub,                  # email/IP/id/phone redaction
         "stratified_sample": _q_stratified_sample,  # per-stratum id-stable rebalancing
         "cap_per_stratum": _q_cap_per_stratum,      # per-source doc cap, skew-safe path
@@ -1583,6 +1633,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'manifest', 'n_violations', NULL, count(*)::BIGINT FROM v
             UNION ALL
             SELECT 'manifest', 'content_digest', NULL, bit_xor(dig)::BIGINT FROM dg
+        """,
+        # stateful streaming totals: the final applyInPandasWithState
+        # state per lang (cumulative sums, so batching-invariant) must
+        # equal the whole-table aggregate of the typed-path violation SQL
+        "stateful_totals": f"""
+            WITH v AS ({_DOC_VIOLATION_SQL}),
+            per_doc AS (
+              SELECT d.doc_id, d.lang, count(v.path) AS nv
+              FROM documents d LEFT JOIN v USING (doc_id)
+              GROUP BY d.doc_id, d.lang
+            )
+            SELECT lang,
+                   count(*)::BIGINT AS n_rows_total,
+                   sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_invalid_total,
+                   sum(nv)::BIGINT AS n_violations_total,
+                   round(1.0 - sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END)::DOUBLE
+                           / count(*), 6) AS pass_rate
+            FROM per_doc GROUP BY lang
         """,
         "exact_dup_props": """
             SELECT sha256(props) AS content_hash, count(*) AS n,
