@@ -124,3 +124,28 @@ def test_cap_per_stratum_validates(spark):
         cap_per_stratum(docs, "doc_id", "source", -1)
     with pytest.raises(ValueError):
         cap_per_stratum(docs, "doc_id", "source", 3, chunks=0)
+
+
+def test_split_ops_edge_ids_match_replica(spark):
+    """Adversarial ids/strata: negative, extreme, zero ids; NULL and
+    unicode strata. Spark and the pure-Python XXH64 replica must agree
+    row-for-row for both per-stratum operators."""
+    from yaschva_spark.ops.split import (
+        cap_per_stratum, replica_cap_keep, replica_keep, stratified_sample,
+    )
+
+    rows = [
+        (-(2**62), "en"), (-1, "fr"), (0, None), (1, "ü"), (2**62, "en"),
+        (7, "en"), (-7, None), (123456789, "ü"), (-987654321, "fr"), (42, "zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"en": 0.9, "fr": 0.5, "ü": 0.3}
+    kept = {r["doc_id"] for r in
+            stratified_sample(df, "doc_id", "lang", fr, default=0.7).collect()}
+    for i, s in rows:
+        assert (i in kept) == replica_keep(i, s, fr, 0.7), (i, s)
+    got = {r["doc_id"] for r in cap_per_stratum(df, "doc_id", "lang", 1).collect()}
+    assert got == replica_cap_keep(rows, cap=1)
+    got4 = {r["doc_id"] for r in
+            cap_per_stratum(df, "doc_id", "lang", 1, chunks=4).collect()}
+    assert got4 == got
