@@ -639,6 +639,35 @@ def _stratified_sample_sql() -> str:
     """
 
 
+#: deterministic malformed lines injected into the quarantine query's
+#: staged JSON source (syntactically broken -> always corrupt rows)
+_QUARANTINE_BAD_LINES = ["{ definitely not json", "garbage line two", '{"unterminated": ']
+
+
+def _q_json_quarantine(spark, sf_dir):
+    # schema-enforced ingestion: documents round-tripped through JSON lines
+    # plus 3 injected malformed lines; the permissive reader must route
+    # every real row to `good` (id XOR + n_chars sum pin identity and
+    # field fidelity) and exactly the 3 broken lines to quarantine.
+    import os
+    import tempfile
+
+    from yaschva_spark.io import read_quarantined
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="yv_quar_q_")
+    src = os.path.join(work, "src")
+    docs.write.mode("overwrite").json(src)
+    with open(os.path.join(src, "part-bad.json"), "w") as f:
+        f.write("\n".join(_QUARANTINE_BAD_LINES) + "\n")
+    good, bad = read_quarantined(spark, src, docs.schema, fmt="json")
+    return good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.bit_xor("doc_id").alias("good_id_xor"),
+        F.sum("n_chars").alias("sum_n_chars"),
+    ).crossJoin(bad.agg(F.count(F.lit(1)).alias("n_quarantined")))
+
+
 def _q_stateful_totals(spark, sf_dir):
     # applyInPandasWithState in the driver contract: replay documents as a
     # file stream (availableNow, 2 files per trigger over 4), validate
@@ -868,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": _q_training_pipeline,  # spans->strip->gate->split, end to end
         "streaming_replay": _q_streaming_replay,    # foreachBatch sink replayed over files
         "stateful_totals": _q_stateful_totals,      # applyInPandasWithState final state
+        "json_quarantine": _q_json_quarantine,      # permissive ingest, corrupt split
         "pii_scrub": _q_pii_scrub,                  # email/IP/id/phone redaction
         "stratified_sample": _q_stratified_sample,  # per-stratum id-stable rebalancing
         "cap_per_stratum": _q_cap_per_stratum,      # per-source doc cap, skew-safe path
@@ -1652,6 +1682,16 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END)::DOUBLE
                            / count(*), 6) AS pass_rate
             FROM per_doc GROUP BY lang
+        """,
+        # quarantined ingestion: every real document row must come back
+        # from the JSON round trip (identity XOR + field-fidelity sum),
+        # and exactly the injected malformed lines must be quarantined
+        "json_quarantine": f"""
+            SELECT count(*)::BIGINT AS n_good,
+                   bit_xor(doc_id)::BIGINT AS good_id_xor,
+                   sum(n_chars)::BIGINT AS sum_n_chars,
+                   {len(_QUARANTINE_BAD_LINES)}::BIGINT AS n_quarantined
+            FROM documents
         """,
         "exact_dup_props": """
             SELECT sha256(props) AS content_hash, count(*) AS n,
