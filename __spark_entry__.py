@@ -639,6 +639,18 @@ def _stratified_sample_sql() -> str:
     """
 
 
+def _q_completeness_daily(spark, sf_dir):
+    # freshness/completeness monitor: zero-filled per-day event counts —
+    # a day with NO rows (stalled ingestion) surfaces as n=0 instead of
+    # silently vanishing from a plain groupBy
+    from yaschva_spark.checks import completeness_daily
+
+    cal = completeness_daily(_t(spark, sf_dir, "events"), "ts")
+    # ISO string for the cross-engine compare (pandas folds DuckDB DATEs
+    # to Timestamps, which != Python date even for the same day)
+    return cal.select(F.col("day").cast("string").alias("day"), "n")
+
+
 #: deterministic malformed lines injected into the quarantine query's
 #: staged JSON source (syntactically broken -> always corrupt rows)
 _QUARANTINE_BAD_LINES = ["{ definitely not json", "garbage line two", '{"unterminated": ']
@@ -898,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_replay": _q_streaming_replay,    # foreachBatch sink replayed over files
         "stateful_totals": _q_stateful_totals,      # applyInPandasWithState final state
         "json_quarantine": _q_json_quarantine,      # permissive ingest, corrupt split
+        "completeness_daily": _q_completeness_daily,  # zero-filled calendar counts
         "pii_scrub": _q_pii_scrub,                  # email/IP/id/phone redaction
         "stratified_sample": _q_stratified_sample,  # per-stratum id-stable rebalancing
         "cap_per_stratum": _q_cap_per_stratum,      # per-source doc cap, skew-safe path
@@ -1682,6 +1695,20 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END)::DOUBLE
                            / count(*), 6) AS pass_rate
             FROM per_doc GROUP BY lang
+        """,
+        # completeness calendar: the zero-fill logic must agree with an
+        # independent generate_series spine + left join in DuckDB
+        "completeness_daily": """
+            WITH b AS (SELECT date_trunc('day', min(ts)) AS lo,
+                              date_trunc('day', max(ts)) AS hi
+                       FROM events WHERE ts IS NOT NULL),
+            days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+                       AS day FROM b),
+            c AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n
+                  FROM events WHERE ts IS NOT NULL GROUP BY 1)
+            SELECT strftime(d.day, '%Y-%m-%d') AS day,
+                   coalesce(c.n, 0)::BIGINT AS n
+            FROM days d LEFT JOIN c USING (day)
         """,
         # quarantined ingestion: every real document row must come back
         # from the JSON round trip (identity XOR + field-fidelity sum),

@@ -246,3 +246,23 @@ def test_drift_chi2_and_psi_null_category_is_a_level(spark):
         )
         assert chi2[g] == pytest.approx(want_chi2, abs=1e-5), g
         assert psi[g] == pytest.approx(want_psi, abs=1e-5), g
+
+
+def test_completeness_daily_zero_fills_gaps(spark):
+    import datetime as dt
+
+    from yaschva_spark.checks import completeness_daily
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 5),), (dt.datetime(2024, 1, 1, 9),),
+        (dt.datetime(2024, 1, 4, 0),),  # 3-day hole: Jan 2 and 3 missing
+        (None,),                        # null ts excluded from the calendar
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {(str(r["day"]), r["n"]) for r in completeness_daily(df, "ts").collect()}
+    assert got == {
+        ("2024-01-01", 2), ("2024-01-02", 0), ("2024-01-03", 0), ("2024-01-04", 1),
+    }
+    # all-null / empty input yields an empty calendar, not a crash
+    empty = spark.createDataFrame([(None,)], "ts timestamp")
+    assert completeness_daily(empty, "ts").count() == 0

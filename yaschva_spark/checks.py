@@ -458,3 +458,42 @@ def drift_ks(
     g_type = df.schema[group_col].dataType.simpleString()
     out_schema = f"{group_col} {g_type}, n_rows long, ks_stat double"
     return df.select(group_col, num_col).groupBy(group_col).applyInPandas(ks, out_schema)
+
+
+def completeness_daily(df: DataFrame, ts_col: str) -> DataFrame:
+    """Zero-filled per-day row counts — the freshness/completeness monitor
+    that catches what drift checks can't: a day with NO rows at all (a
+    stalled ingestion) never shows up in a plain groupBy, because absent
+    groups produce no output. Output: ``(day date, n long)`` for every
+    calendar day between the data's min and max, gaps included as n=0.
+
+    Scale shape: ONE count aggregation over the data (map-side combined,
+    exchange carries one row per distinct day); the calendar spine is
+    GENERATED from a 1-row bounds agg (the only driver action, bounded
+    like the quantile grid) via ``sequence`` — never shuffled out of the
+    data. NULL timestamps are excluded (they belong to the null-rate
+    check, not the calendar)."""
+    day = F.date_trunc("day", F.col(ts_col))
+    nn = df.filter(F.col(ts_col).isNotNull())
+    counts = nn.groupBy(day.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    bounds = nn.agg(F.min(day).alias("lo"), F.max(day).alias("hi")).first()
+    spark = df.sparkSession
+    if bounds["lo"] is None:
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField("day", T.DateType()),
+                              T.StructField("n", T.LongType())])
+        )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(bounds["lo"]), F.lit(bounds["hi"]), F.expr("interval 1 day")
+            )
+        ).alias("bucket")
+    )
+    return (
+        spine.join(counts, "bucket", "left")
+        .select(
+            F.col("bucket").cast("date").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
