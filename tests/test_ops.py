@@ -95,6 +95,22 @@ def test_cosine_topk_exact(emb):
         assert all(r["neighbor_id"] != q for r in rows)
 
 
+def test_cosine_topk_tiny_corpus_never_emits_self(spark):
+    """corpus == queries with corpus size <= k: fewer than k non-self
+    candidates exist, so the -inf self-mask sentinels must be DROPPED, not
+    ranked — the r4 kernel let a (q, q, -Infinity) row survive rank<=k."""
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])]
+    emb3 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.cosine_topk(emb3, emb3, k=5).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in got)
+    assert all(r["sim"] > float("-inf") for r in got)
+    # each query sees exactly the 2 real non-self neighbors
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert per_q == {1: {2, 3}, 2: {1, 3}, 3: {1, 2}}
+
+
 def test_ann_lsh_recall(emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = {

@@ -92,6 +92,10 @@ def test_stratified_sample_validates_fractions(spark):
         stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
     with pytest.raises(ValueError):
         stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, default=-0.1)
+    # None stratum key: a CASE on equality cannot match NULL, so honoring it
+    # would silently diverge from replica_keep — must be rejected up front
+    with pytest.raises(ValueError, match="None stratum"):
+        stratified_sample(docs, "doc_id", "lang", {None: 0.5, "en": 0.5})
 
 
 def test_cap_per_stratum_matches_replica_and_chunked(spark):
@@ -124,6 +128,34 @@ def test_cap_per_stratum_validates(spark):
         cap_per_stratum(docs, "doc_id", "source", -1)
     with pytest.raises(ValueError):
         cap_per_stratum(docs, "doc_id", "source", 3, chunks=0)
+    with pytest.raises(ValueError):
+        cap_per_stratum(docs, "doc_id", "source", 3, chunks="bogus")
+
+
+def test_cap_per_stratum_auto_chunks_skewed(spark):
+    """A 90%-one-stratum corpus must pick C>1 automatically (against a
+    small per-task budget) and still produce exactly the chunks=1 keep
+    set — the r4 default of chunks=1 required the caller to KNOW the skew
+    to avoid serializing the dominant stratum onto one window task."""
+    from yaschva_spark.ops.split import (
+        cap_per_stratum, choose_cap_chunks, replica_cap_keep,
+    )
+
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # hot stratum has 1800 rows; a 500-row budget must chunk it 4 ways
+    assert choose_cap_chunks(df, "source", rows_per_task=500) == 4
+    # a generous budget keeps the cheap single-window plan
+    assert choose_cap_chunks(df, "source", rows_per_task=10_000) == 1
+    expect = replica_cap_keep(rows, cap=5)
+    base = {r["doc_id"] for r in cap_per_stratum(df, "doc_id", "source", 5).collect()}
+    assert base == expect
+    # auto against the tight budget runs the C=4 two-stage plan — exact
+    auto = cap_per_stratum(df, "doc_id", "source", 5, chunks="auto", rows_per_task=500)
+    assert {r["doc_id"] for r in auto.collect()} == expect
+    # auto against the default 4M budget stays at the single-window plan
+    auto1 = cap_per_stratum(df, "doc_id", "source", 5, chunks="auto")
+    assert {r["doc_id"] for r in auto1.collect()} == expect
 
 
 def test_split_ops_edge_ids_match_replica(spark):

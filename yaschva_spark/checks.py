@@ -472,8 +472,15 @@ def completeness_daily(df: DataFrame, ts_col: str) -> DataFrame:
     GENERATED from a 1-row bounds agg (the only driver action, bounded
     like the quantile grid) via ``sequence`` — never shuffled out of the
     data. NULL timestamps are excluded (they belong to the null-rate
-    check, not the calendar)."""
-    day = F.date_trunc("day", F.col(ts_col))
+    check, not the calendar).
+
+    The spine and bucket are DATE-typed end to end: stepping TIMESTAMPS by
+    ``interval 1 day`` (fixed 24h) from the min would stop aligning with
+    per-day bucket values across a DST transition in a non-UTC session
+    timezone — post-transition days would join-miss and report n=0 while
+    their real counts were dropped. ``sequence(date, date)`` steps by
+    calendar day, immune to that."""
+    day = F.to_date(F.col(ts_col))
     nn = df.filter(F.col(ts_col).isNotNull())
     counts = nn.groupBy(day.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
     bounds = nn.agg(F.min(day).alias("lo"), F.max(day).alias("hi")).first()
@@ -484,16 +491,12 @@ def completeness_daily(df: DataFrame, ts_col: str) -> DataFrame:
                               T.StructField("n", T.LongType())])
         )
     spine = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit(bounds["lo"]), F.lit(bounds["hi"]), F.expr("interval 1 day")
-            )
-        ).alias("bucket")
+        F.explode(F.sequence(F.lit(bounds["lo"]), F.lit(bounds["hi"]))).alias("bucket")
     )
     return (
         spine.join(counts, "bucket", "left")
         .select(
-            F.col("bucket").cast("date").alias("day"),
+            F.col("bucket").alias("day"),
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         )
     )

@@ -692,10 +692,17 @@ def ngram_contamination(
     object and its exchange is this job's dominant cost — ``by_hash=True``
     (default) keys both the distinct-agg and the membership join on
     ``xxhash64(shingle)``: 8-byte shuffle keys instead of n-token strings
-    (~5-10x fewer exchange bytes at n=3 prose; collisions merge two
-    distinct shingles at 2^-64 per pair, which biases counts by at most
-    1 per collision). ``by_hash=False`` keys on the shingle text — equal
-    output (asserted in tests) and the form the DuckDB oracle replicates.
+    (~5-10x fewer exchange bytes at n=3 prose). Collisions merge two
+    distinct shingles at 2^-64 per PAIR — but at this module's 10^12
+    distinct-shingle design point the birthday bound puts the EXPECTED
+    aggregate collisions at ~C(10^12,2)·2^-64 ≈ 2.7×10^4, each able to
+    flip one eval shingle to falsely contaminated, so at that scale the
+    output is no longer exactly hash-invariant vs a text-keyed run (the
+    rate bias stays ≲ collisions/n_shingles, i.e. ~10^-8 — negligible
+    statistically, not byte-exact). ``by_hash=False`` keys on the shingle
+    text — the EXACT mode for adversarial/audit runs, equal output at any
+    scale the oracle can check (asserted in tests) and the form the DuckDB
+    oracle replicates.
     Bucket both sides by the key and the probe co-locates; the
     per-eval-doc aggregation is map-side combinable. Eval documents
     shorter than n words have no shingles and are not reported."""

@@ -193,6 +193,13 @@ def cosine_topk(
                 order = np.argsort(all_i, kind="stable")
                 order = order[np.argsort(-all_s[order], kind="stable")][:k]
                 run_s[j], run_i[j] = all_s[order], all_i[order]
+        # drop the -inf self-mask sentinels: on a tiny corpus (fewer than k
+        # non-self candidates) they would otherwise survive the rank<=k
+        # filter and emit (query, neighbor==query, -Infinity) rows the old
+        # broadcast-join plan could never produce
+        for j in range(m):
+            keep = run_s[j] > -np.inf
+            run_s[j], run_i[j] = run_s[j][keep], run_i[j][keep]
         n_out = sum(len(s) for s in run_s)
         if n_out:
             yield pd.DataFrame(

@@ -132,6 +132,15 @@ def stratified_sample(
     retries) this is replayable bit-for-bit by the pure-Python XXH64
     replica, which is what the SQL oracle uses."""
     for k, frac in fractions.items():
+        if k is None:
+            # `col == lit(None)` is NULL, so the CASE would fall through to
+            # `default` for NULL strata while replica_keep's fractions.get
+            # would return the configured fraction — the bit-for-bit replay
+            # contract would silently break. Refuse rather than diverge.
+            raise ValueError(
+                "None stratum key is not supported: NULL strata always keep "
+                "`default` (a CASE on equality cannot match NULL)"
+            )
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for stratum {k!r} must be in [0, 1]")
     if not 0.0 <= default <= 1.0:
@@ -155,13 +164,41 @@ def replica_keep(
     return replica_bucket(id_value, seed) < int(round(frac * GRANULARITY))
 
 
+#: Per-task row budget for one window partition in cap_per_stratum's
+#: chunks="auto" sizing — same philosophy as dedup.NAIVE_ROWS_PER_TASK: a
+#: single row_number window partition is one un-splittable task, so a
+#: stratum larger than this budget gets chunked. Kept well under the
+#: measured hash-agg/window spill cliff (dedup's 16.4M rows/task dead
+#: point); over-chunking costs one extra cheap local window, under-chunking
+#: costs a straggler task holding the whole hot stratum.
+WINDOW_ROWS_PER_TASK = 4_000_000
+
+
+def choose_cap_chunks(df: DataFrame, strata_col: str, rows_per_task: int = WINDOW_ROWS_PER_TASK) -> int:
+    """One-aggregation sketch (pattern of dedup.candidate_sketch) that sizes
+    ``cap_per_stratum``'s chunk count from the HOTTEST stratum: C such that
+    any one stage-1 window task holds ~max_stratum/C ≤ ``rows_per_task``
+    rows. Returns 1 when no stratum exceeds the budget (the common case —
+    the sketch costs one count-agg scan, the win is avoiding a 100 TB
+    dominant-domain stratum serializing onto a single task)."""
+    row = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("max_n"))
+        .collect()[0]
+    )
+    max_n = int(row["max_n"] or 0)
+    return max(1, -(-max_n // rows_per_task))  # ceil div
+
+
 def cap_per_stratum(
     df: DataFrame,
     id_col: str,
     strata_col: str,
     cap: int,
     seed: int = 7,
-    chunks: int = 1,
+    chunks: int | str = 1,
+    rows_per_task: int = WINDOW_ROWS_PER_TASK,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per stratum — the per-domain/per-source cap
     of corpus mixing (a fraction can't express "no more than N pages from
@@ -177,13 +214,20 @@ def cap_per_stratum(
     one task's window holds ~1/C of the stratum — and stage 2 ranks the
     ≤ ``C*cap`` survivors per stratum. Exact for any C (the global top-cap
     is contained in the union of per-chunk top-caps), same two-phase shape
-    as ``cosine_topk``'s local-heap → global-merge."""
+    as ``cosine_topk``'s local-heap → global-merge.
+
+    ``chunks="auto"`` sizes C from a one-agg hottest-stratum sketch
+    (:func:`choose_cap_chunks`) so the caller need not know the skew —
+    the r4 default of 1 silently serialized a dominant stratum unless the
+    caller thought to ask."""
     from pyspark.sql import Window
 
     if cap < 0:
         raise ValueError("cap must be >= 0")
-    if chunks < 1:
-        raise ValueError("chunks must be >= 1")
+    if chunks == "auto":
+        chunks = choose_cap_chunks(df, strata_col, rows_per_task)
+    if not isinstance(chunks, int) or chunks < 1:
+        raise ValueError("chunks must be >= 1 or 'auto'")
     out_cols = df.columns
     dfb = df.withColumn("__b", _bucket_col(id_col, seed))
     if chunks > 1:

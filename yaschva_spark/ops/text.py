@@ -201,11 +201,13 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 #: PII redaction patterns, applied in order. Each is dialect-portable
 #: (identical semantics in Java regex and RE2/DuckDB: \b is the ASCII word
-#: boundary in both, no backrefs/lookaround), and the pattern CLASSES are
-#: textually disjoint (dotted quads / dashed ids / +digit runs / @-forms
-#: can't overlap), so per-pattern match counts taken on the ORIGINAL text
-#: equal the counts a sequential scrub sees — which is what lets an
-#: independent SQL oracle verify both the counts and the redacted text.
+#: boundary in both, no backrefs/lookaround). Counts are per-pattern
+#: matches on the ORIGINAL text; nested matches are possible (an ipv4 or
+#: +digit run inside an email, e.g. 'a@1.2.3.4.com', counts n_ipv4=1 even
+#: though the sequential scrub redacts it as part of <EMAIL>), so n_ipv4 /
+#: n_phone over-count relative to "matches surviving earlier scrubs". The
+#: SQL oracle counts on the original text the same way, so the gate holds
+#: for exactly the semantics documented here.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
@@ -223,8 +225,9 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Pure Catalyst projection (chained ``regexp_replace`` + per-pattern
     ``regexp_count``): no shuffle, no Python, composes with the scan at
     codegen speed — at 100 TB this runs at scan throughput like the other
-    text operators. Counts are per-pattern matches on the input text
-    (equal to sequential-scrub counts; see :data:`PII_PATTERNS`)."""
+    text operators. Counts are per-pattern matches on the ORIGINAL input
+    text — a match nested inside an earlier pattern's redaction still
+    counts (see :data:`PII_PATTERNS`)."""
     text = F.col(text_col)
     clean = text
     counts = []

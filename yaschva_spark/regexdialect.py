@@ -309,6 +309,13 @@ def to_python_pattern(pattern: str) -> str:
             out.append("\\[")
             i += 1
             continue
+        elif in_class and c == "&":
+            # literal in ECMA; unescaped `&&` in a Python class is a
+            # FutureWarning (set intersection is planned) — escape now so
+            # the future semantics change can't silently break parity
+            out.append("\\&")
+            i += 1
+            continue
         out.append(c)
         i += 1
     return "".join(out)
