@@ -176,12 +176,45 @@ def test_multimodal_plumbing(spark):
     assert all(r["frame_idx"] % 50 == 0 for r in plan)
 
 
-def test_decode_real_is_stubbed_for_compressed_codecs():
-    # JPEG/PNG/... need media libs: still an honest stub
+def test_decode_real_is_stubbed_for_unknown_magic():
+    # formats without a stdlib-parseable header (MP3, unknown blobs) stay
+    # an honest stub; malformed payloads of KNOWN formats raise ValueError
     with pytest.raises(NotImplementedError):
-        mm.decode_real("image", b"\xff\xd8\xff\xe0 jpeg-ish")
+        mm.decode_real("audio", b"\xff\xfb\x90\x44 mp3 frame sync")
+    with pytest.raises(NotImplementedError):
+        mm.decode_real("audio", b"ID3\x04\x00\x00\x00\x00\x00\x00")
     with pytest.raises(NotImplementedError):
         mm.decode_real("image", b"bytes")
+    with pytest.raises(ValueError):  # JPEG magic but no SOF segment
+        mm.decode_real("image", b"\xff\xd8\xff\xd9")
+
+
+def test_decode_real_compressed_codec_headers():
+    """Encode->decode roundtrip for the real container formats: the encoders
+    write spec-conformant headers (PNG chunk CRCs, GIF block stream, JPEG
+    marker segments, ISO-BMFF box tree) and decode_real must read back
+    exactly the dims/frames that were written."""
+    assert mm.decode_real("image", mm.encode_png(640, 480)) == (640, 480, 1)
+    # APNG: acTL num_frames before IDAT
+    assert mm.decode_real("image", mm.encode_png(12, 7, n_frames=9)) == (12, 7, 9)
+    assert mm.decode_real("image", mm.encode_gif(320, 200)) == (320, 200, 1)
+    # animated GIF: one image descriptor per frame, walked past LZW blocks
+    assert mm.decode_real("image", mm.encode_gif(31, 17, n_frames=4)) == (31, 17, 4)
+    assert mm.decode_real("image", mm.encode_jpeg(1920, 1080)) == (1920, 1080, 1)
+    # progressive JPEG carries dims in SOF2 instead of SOF0
+    prog = bytearray(mm.encode_jpeg(99, 44))
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    assert mm.decode_real("image", bytes(prog)) == (99, 44, 1)
+    assert mm.decode_real("video", mm.encode_mp4(1280, 720, n_frames=300)) == (1280, 720, 300)
+    # audio-only MP4 (no tkhd dims): (0, 0, sample_count)
+    assert mm.decode_real("audio", mm.encode_mp4(0, 0, n_frames=4410)) == (0, 0, 4410)
+    # truncated/malformed known formats raise ValueError, not garbage
+    with pytest.raises(ValueError):
+        mm.decode_real("image", mm.encode_png(8, 8)[:12])
+    with pytest.raises(ValueError):
+        mm.decode_real("image", mm.encode_gif(8, 8)[:12])
+    with pytest.raises(ValueError):
+        mm.decode_real("video", mm.encode_mp4(8, 8)[:16])
 
 
 def _bmp_fixture(w: int, h: int) -> bytes:

@@ -30,9 +30,11 @@ PANDAS_STAGES_OK = {
     "minhash_near_dup",        # affine-mix signature kernel
     "simhash_pairs",           # bit-voting kernel
     "simhash_fingerprints",    # bit-voting kernel
+    "codec_features",          # real header decode must see the bytes (mapInPandas)
     # asset_features is NOT here: the stub path is pure Catalyst (conv/
     # substring arithmetic on the JVM digest); only the real-decode path
-    # (use_stub=False, not a driver query) carries a mapInPandas stage
+    # (use_stub=False — the codec_features roundtrip) carries a mapInPandas
+    # stage
 }
 
 PYTHON_MARKERS = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
