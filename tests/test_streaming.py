@@ -120,6 +120,37 @@ def test_stateful_violation_totals_accumulates(spark, tmp_path):
         assert r["n_violations_total"] == 2 * first[k]["n_violations_total"]
 
 
+def test_stateful_state_store_is_rocksdb(spark, tmp_path):
+    """The 10^8-key feasibility claim of the stateful operators requires
+    OFF-HEAP state: the default HDFS-backed provider keeps every key
+    on-heap and would OOM long before that. Assert the session profile
+    engages RocksDB AND that a checkpoint actually materializes RocksDB
+    changelog artifacts (not the HDFS provider's .delta files)."""
+    assert spark.conf.get("spark.sql.streaming.stateStore.providerClass").endswith(
+        "RocksDBStateStoreProvider"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    batch = spark.read.parquet(f"{SF}/events.parquet").limit(50)
+    batch.write.mode("overwrite").parquet(str(src / "b1"))
+    schema = spark.read.parquet(str(src / "b1")).schema
+    stream = streaming.read_stream(spark, str(src) + "/*", schema)
+    validated = streaming.validate_stream(stream, EVENT_SCHEMA)
+    totals = streaming.stateful_violation_totals(validated, key_col="event_type")
+    q = (
+        totals.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    state_files = [p.name for p in (ckpt / "state").rglob("*") if p.is_file()]
+    assert any(n.endswith((".changelog", ".zip")) for n in state_files), state_files
+    assert not any(n.endswith(".delta") for n in state_files), state_files
+
+
 def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
     import pandas as pd
 

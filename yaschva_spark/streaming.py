@@ -359,7 +359,11 @@ def stateful_violation_totals(
 ) -> DataFrame:
     """Custom stateful operator: cumulative per-key row/violation totals
     across micro-batches via ``applyInPandasWithState`` (Arrow-batched; state
-    is two longs per key, so executor state stores scale to 10^8 keys).
+    is three longs per key). The 10^8-key scale claim holds only with the
+    RocksDB state store the session profile sets (session.py): the default
+    HDFS-backed provider keeps all state on-heap and OOMs far earlier.
+    Asserted in tests/test_streaming.py (provider + on-disk changelog
+    layout).
 
     Emits one row per key per trigger: (key, n_rows_total, n_violations_total,
     pass_rate) — the continuously-maintained analog of the batch manifest.
