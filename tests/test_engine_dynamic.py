@@ -100,6 +100,15 @@ def test_screen_coverage_telemetry(spark):
     cov = screen_coverage("nested_json_validation")
     unpersist_intermediates()
     assert n_viol == 285
-    assert cov == {"n_rows": 500, "n_proven": 243, "proven_fraction": 0.486}
+    assert cov == {
+        "n_rows": 500,
+        "n_proven": 243,
+        # r5 fail screen: every genuinely-violating row of this corpus is
+        # emitted JVM-side with byte-exact violations — the whole table is
+        # decided without crossing Arrow
+        "n_proven_fail": 257,
+        "proven_fraction": 0.486,
+        "jvm_fraction": 1.0,
+    }
     # unknown / unobserved names answer None, never a stale observation
     assert screen_coverage("no_such_observation") is None

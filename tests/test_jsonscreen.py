@@ -322,3 +322,92 @@ def test_hybrid_output_key_order_identical(spark):
          for r in validate_json_table(df, schema, "js", screen=False).collect()}
     assert a == b
     assert a[2] == '{"f2":null,"f1":null,"f0":null}'  # data order, then missing
+
+
+# --- r5 fail screen -------------------------------------------------------------
+FAIL_SCREEN_SCHEMA = {
+    "lang": {"$enum": ["en", "de"]},
+    "n": {"$number": {"min": 0, "max": 10}},
+    "name": {"$string": {"minLength": 2, "maxLength": 4}},
+    "flag": "boolean",
+    "cnt": "integer",
+    "note": ["?", "string"],
+}
+
+FAIL_ROWS = [
+    # (id, json, expect_jvm_emitted) — expect_jvm_emitted pins which rows the
+    # fail screen must decide WITHOUT the interpreter (pass or fail); False
+    # rows must fall to the interpreter (undecidable or unrenderable), and
+    # EVERY row must be byte-identical to screen=False either way.
+    (0, '{"lang": "en", "n": 5, "name": "abc", "flag": true, "cnt": 1}', True),
+    (1, '{"lang": "zz", "n": 5, "name": "abc", "flag": true, "cnt": 1}', True),   # enum_mismatch
+    (2, '{"lang": 7, "n": 5, "name": "abc", "flag": true, "cnt": 1}', True),      # not_string, int value renders
+    (3, '{"lang": null, "n": 5, "name": "abc", "flag": true, "cnt": 1}', True),   # not_string, null value
+    (4, '{"n": 5, "name": "abc", "flag": true, "cnt": 1}', True),                 # missing -> "__undefined__"
+    (5, '{"lang": "en", "n": -3, "name": "abc", "flag": true, "cnt": 1}', True),  # below min
+    (6, '{"lang": "en", "n": 99, "name": "abc", "flag": true, "cnt": 1}', True),  # above max
+    (7, '{"lang": "en", "n": "x", "name": "abc", "flag": true, "cnt": 1}', True), # not_number
+    (8, '{"lang": "en", "n": 5, "name": "a", "flag": true, "cnt": 1}', True),     # too short
+    (9, '{"lang": "en", "n": 5, "name": "abcde", "flag": true, "cnt": 1}', True), # too long
+    (10, '{"lang": "en", "n": 5, "name": "abc", "flag": 3, "cnt": 1}', True),     # not_boolean
+    # not_integer with a DOUBLE offending value: the error is decidable but
+    # the value's Python-repr rendering is not -> interpreter
+    (11, '{"lang": "en", "n": 5, "name": "abc", "flag": true, "cnt": 1.5}', False),
+    (12, '{"lang": "en", "n": 5, "name": "abc", "flag": true, "cnt": 9007199254740993}', True),  # > 2^53, i64 renders
+    (13, '{"lang": "en", "n": 5, "name": "abc", "flag": true, "cnt": 1, "extra": 1}', False),    # extra key -> interp
+    (14, '[1, 2]', False),                                                        # non-object root -> interp
+    (15, '{"lang": "q\\"z", "n": 5, "name": "abc", "flag": true, "cnt": 1}', False),  # value needs escaping
+    (16, '{"lang": "\\u00e9", "n": 5, "name": "abc", "flag": true, "cnt": 1}', False),  # non-ASCII value
+    (17, '{"lang": "en", "n": 5.5, "name": "abc", "flag": true, "cnt": 1}', True),  # passing DOUBLE in bounds
+    (18, '{"lang": "en", "n": -5.5, "name": "abc", "flag": true, "cnt": 1}', False),  # failing DOUBLE: repr render -> interp
+    (19, '{"lang": "en", "n": 9007199254740993, "name": "abc", "flag": true, "cnt": 1}', False),  # bound compare undecidable
+    (20, '{"lang": ["x"], "n": 5, "name": "abc", "flag": true, "cnt": 1}', False),  # composite offending value
+    (21, '{"lang": "zz", "n": 99, "name": "a", "flag": 0, "cnt": "x"}', True),    # every field failing at once
+    (22, '{"note": 4, "lang": "en", "n": 5, "name": "abc", "flag": true, "cnt": 1}', False),  # union failure -> interp
+    (23, '{"lang": "en", "n": 5, "name": "abc", "flag": true, "cnt": 1, "note": "ok"}', True),  # union passing branch
+]
+
+
+def test_fail_screen_byte_exact_and_emission_boundary(spark):
+    """The r5 fail screen: provably-failing rows are emitted JVM-side with
+    the interpreter's EXACT (path, rule, error, value) violations and
+    yv_output; undecidable/unrenderable rows still fall to the interpreter.
+    Both the byte-exactness and the emission boundary itself are pinned."""
+    from yaschva_spark.jsonscreen import compile_screens
+
+    df = spark.createDataFrame([(i, t) for i, t, _ in FAIL_ROWS], "id long, js string")
+    cols = ["id", "yv_valid", "yv_violations", "yv_output"]
+    a = {r["id"]: repr(r) for r in
+         validate_json_table(df, FAIL_SCREEN_SCHEMA, "js", screen=True).select(cols).collect()}
+    b = {r["id"]: repr(r) for r in
+         validate_json_table(df, FAIL_SCREEN_SCHEMA, "js", screen=False).select(cols).collect()}
+    assert a == b
+    scr = compile_screens(FAIL_SCREEN_SCHEMA, F.col("js"))
+    emitted = {r["id"]: r["e"] for r in df.select("id", scr["emit"].alias("e")).collect()}
+    for i, _, expect in FAIL_ROWS:
+        assert emitted[i] == expect, (i, emitted[i])
+
+
+def test_fail_screen_violation_rows_exact(spark):
+    """Spot-pin the JVM-emitted violation rows against the interpreter's
+    literal values (path / rule / exact error string incl. the enum
+    trailing space / offending-value JSON in data-key order)."""
+    from yaschva_spark.jsonscreen import compile_screens
+
+    raw = '{"lang": "zz", "n": 99, "name": "a", "flag": 0, "cnt": "x"}'
+    df = spark.createDataFrame([(21, raw)], "id long, js string")
+    # this row must be decided by the fail screen, not the interpreter
+    assert df.select(compile_screens(FAIL_SCREEN_SCHEMA, F.col("js"))["emit"]).collect()[0][0]
+    out = validate_json_table(df, FAIL_SCREEN_SCHEMA, "js", screen=True).collect()[0]
+    assert out["yv_valid"] is False
+    got = [(v["path"], v["rule"], v["error"], v["value"]) for v in out["yv_violations"]]
+    assert got == [
+        ("$.lang", "enum_mismatch", "Value needs to be one of the following: [en, de] ", '"zz"'),
+        ("$.n", "num_above_max", "Value is bigger than the required maximum", "99"),
+        ("$.name", "str_too_short", "String is shorter than the required minimum length", '"a"'),
+        ("$.flag", "not_boolean", "Value is not a boolean", "0"),
+        ("$.cnt", "not_integer", "Value is not an integer ", '"x"'),
+    ]
+    # and the JVM-built failing yv_output is the interpreter's, byte for byte
+    b = validate_json_table(df, FAIL_SCREEN_SCHEMA, "js", screen=False).collect()[0]
+    assert out["yv_output"] == b["yv_output"]

@@ -59,10 +59,17 @@ def screen_coverage(name: str) -> dict[str, Any] | None:
         return None
     m = obs.get
     n, proven = int(m["n_rows"]), int(m["n_proven"] or 0)
+    proven_fail = int(m.get("n_proven_fail", 0) or 0)
     return {
         "n_rows": n,
         "n_proven": proven,
+        # rows the r5 fail screen emitted JVM-side (provably failing,
+        # byte-exact violations) — these skip Arrow too
+        "n_proven_fail": proven_fail,
         "proven_fraction": round(proven / n, 6) if n else None,
+        # the split plan's true win: the fraction of the table that never
+        # crosses the Arrow boundary in either direction
+        "jvm_fraction": round((proven + proven_fail) / n, 6) if n else None,
     }
 
 
@@ -183,10 +190,18 @@ def validate_json_table(
     ``defaultParallelism`` are repartitioned up front (the shuffled
     projection is just ``keep + json``; no-op at scale).
 
+    The split is THREE-way since r5: proven-pass rows project pure-JVM as
+    before, provably-FAILING rows whose exact violations the fail screen
+    can render (jsonscreen.compile_screens) project pure-JVM too, and only
+    the residue — rows neither screen can decide or render exactly — runs
+    the interpreter. On the nested bench corpus the residue is 0%: every
+    row is decided without crossing Arrow.
+
     ``observe="name"`` attaches a CollectMetrics node to the screened
-    projection (zero extra passes) counting rows and proven rows; read it
-    after the first action via :func:`screen_coverage`. No-op when the
-    screen is off or the schema is unscreenable.
+    projection (zero extra passes) counting rows, proven-pass rows, and
+    JVM-emitted fail rows; read it after the first action via
+    :func:`screen_coverage`. No-op when the screen is off or the schema is
+    unscreenable.
     """
     check_schema(schema)
     if observe is not None:
@@ -196,16 +211,14 @@ def validate_json_table(
     if screen_materialize not in ("persist", "recompute"):
         raise ValueError(f"screen_materialize: {screen_materialize!r}")
 
-    screen_col = None
-    pass_out_col = None
+    screens = None
     if screen:
-        from yaschva_spark.jsonscreen import ScreenNotApplicable, compile_pass_screen, pass_output_col
+        from yaschva_spark.jsonscreen import ScreenNotApplicable, compile_screens
 
         try:
-            screen_col = compile_pass_screen(schema, F.col(json_col))
-            pass_out_col = pass_output_col(schema, F.col(json_col))
+            screens = compile_screens(schema, F.col(json_col))
         except ScreenNotApplicable:
-            screen_col = None
+            screens = None
 
     out_ddl = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep)
     out_ddl = (out_ddl + ", " if out_ddl else "") + (
@@ -255,15 +268,20 @@ def validate_json_table(
     if src.rdd.getNumPartitions() < par:
         src = src.repartition(par)
 
-    if screen_col is None:
+    if screens is None:
         return src.mapInPandas(run_batches, schema=out_ddl)
 
+    jvmfail = ~screens["pass"] & screens["emit"]
     scr = src.select(
         *need,
-        screen_col.alias("__yv_screen"),
-        # built only for proven rows (NULL otherwise) so the violating
-        # tail doesn't pay the string construction or the storage bytes
-        F.when(screen_col, pass_out_col).alias("__yv_passout"),
+        screens["pass"].alias("__yv_screen"),
+        jvmfail.alias("__yv_jvmfail"),
+        # built only for the rows that use them (NULL otherwise) so no
+        # branch pays another branch's string construction or storage
+        F.when(screens["pass"], screens["pass_out"])
+        .when(jvmfail, screens["fail_out"])
+        .alias("__yv_out"),
+        F.when(jvmfail, screens["viols"]).alias("__yv_viols"),
     )
     if observe is not None:
         # free telemetry: a CollectMetrics node on the screened projection
@@ -277,6 +295,9 @@ def validate_json_table(
             F.sum(F.coalesce(F.col("__yv_screen"), F.lit(False)).cast("long")).alias(
                 "n_proven"
             ),
+            F.sum(F.coalesce(F.col("__yv_jvmfail"), F.lit(False)).cast("long")).alias(
+                "n_proven_fail"
+            ),
         )
         _SCREEN_OBS[observe] = obs
     if screen_materialize == "persist":
@@ -287,11 +308,19 @@ def validate_json_table(
         *keep,
         F.lit(True).alias(PASS_COL),
         F.array().cast(VIOLATION_DDL).alias(VIOLATIONS_COL),
-        F.col("__yv_passout").alias("yv_output"),
+        F.col("__yv_out").alias("yv_output"),
+    )
+    # provably-failing rows with byte-exact JVM violations/output (the r5
+    # fail screen): pure projection, no Arrow crossing
+    proven_fail = scr.filter(F.col("__yv_jvmfail")).select(
+        *keep,
+        F.lit(False).alias(PASS_COL),
+        F.col("__yv_viols").cast(VIOLATION_DDL).alias(VIOLATIONS_COL),
+        F.col("__yv_out").alias("yv_output"),
     )
     tail = (
-        scr.filter(~F.col("__yv_screen"))
+        scr.filter(~F.col("__yv_screen") & ~F.col("__yv_jvmfail"))
         .select(*need)
         .mapInPandas(run_batches, schema=out_ddl)
     )
-    return proven.unionByName(tail)
+    return proven.unionByName(proven_fail).unionByName(tail)

@@ -62,6 +62,24 @@ Supported fragment: simple types, ``?``, ``null``, ``any``, ``$enum``,
 with leaf-output element/value schemas, and ordered union prefixes
 thereof. Reference semantics: validate.ts:50-205 (leaves),
 validate.ts:106-193 (arrays/maps/objects), validate.ts:91-104 (unions).
+
+**Fail screen (r5).** The r4 measurement showed the pass screen proving
+100% of the VALID rows on the nested bench corpus — the remaining ~49%
+crossing Arrow were all genuinely-violating rows, which the interpreter
+evaluated only to produce error strings the schema already determines.
+``compile_screens`` therefore also compiles the FAIL side: leaves carry
+the interpreter's first-error dispatch as a when-chain of compile-time
+constants (error string + rule id), the offending value renders JVM-side
+when its ``json.dumps`` text is exactly reconstructible (missing →
+``"__undefined__"``, null, booleans, i64 integers, printable-ASCII
+strings without ``"``/``\\``), and objects concatenate field violations
+in the interpreter's output order. Rows the fail side cannot decide or
+render exactly — structural failures (non-object, extra key), union
+failures, DOUBLE/DECIMAL or escape-needing offending values, bound
+comparisons outside the 2^53 window — keep falling to the interpreter,
+per row. Soundness contract extends symmetrically: an emitted FAIL row's
+violations and output must equal the interpreter's byte for byte
+(differential + emission-boundary tests in tests/test_jsonscreen.py).
 """
 
 from __future__ import annotations
@@ -115,6 +133,30 @@ class _Screen:
     exact: bool
     #: ``out`` is the literal text ``null`` for every passing value
     null_out: bool
+    #: FAIL-SCREEN (r5): row-level "this node's outcome — pass OR fail — is
+    #: exactly JVM-representable". On femit rows ``viols`` equals the
+    #: interpreter's violation rows byte for byte and ``fout`` equals its
+    #: ``yv_output`` byte for byte, so provably-FAILING rows skip Arrow
+    #: too. None = not fail-compiled (normalized to femit=cond,
+    #: viols=empty, fout=out: only the pass outcome is representable).
+    femit: Column | None = None
+    #: ``yv_output`` text valid whenever ``femit`` (== ``out`` when cond)
+    fout: Column | None = None
+    #: violation rows, empty when cond; valid whenever ``femit``
+    viols: Column | None = None
+
+
+#: violation rows schema (matches typed.VIOLATION_DDL)
+_VIOL_DDL = "array<struct<path:string,rule:string,error:string,value:string>>"
+
+#: error strings that may be concat-spliced into JSON output text verbatim:
+#: printable ASCII without `"` or `\` — exactly the strings whose
+#: json.dumps rendering (either ensure_ascii mode) is the string itself
+_ERR_SAFE = _re.compile(r"\A[ !#-\[\]-~]+\Z")
+
+
+def _empty_viols() -> Column:
+    return F.array().cast(_VIOL_DDL)
 
 
 def _vtype(tv: Column) -> Column:
@@ -146,8 +188,90 @@ def _exact_as_double(tv: Column, v: Column) -> Column:
     return (_vtype(tv) == "DOUBLE") | (F.abs(v) <= F.lit(float(MAX_SAFE)))
 
 
-def _leaf(cond: Column, *, exact: bool) -> _Screen:
-    return _Screen(cond, F.lit("null"), exact, True)
+def _render_value(tv: Column) -> tuple[Column, Column]:
+    """(txt, unrenderable): JSON text of the variant value rendered EXACTLY
+    as the interpreter's ``json.dumps(value)`` — in BOTH ensure_ascii modes
+    (violation rows use False, yv_output uses True), which is why strings
+    are gated to printable ASCII without ``"``/``\\`` (their dumps rendering
+    is identical in both modes and equals ``"<s>"`` verbatim). Exactly
+    renderable: missing (the ``"__undefined__"`` token), JSON null,
+    safe-ASCII strings, booleans, and BIGINT integers (i64-exact, and
+    json.loads of an integer literal yields a Python int whose dumps is the
+    same decimal text). DOUBLE/DECIMAL numbers (Python repr rendering),
+    wilder strings, and composite values fall to the interpreter."""
+    t = _vtype(tv)
+    s = F.try_variant_get(tv, "$", "string")
+    missing = tv.isNull()
+    isnull = tv.isNotNull() & F.is_variant_null(tv)
+    txt = (
+        F.when(missing, F.lit('"__undefined__"'))
+        .when(isnull, F.lit("null"))
+        .when(t == "STRING", F.concat(F.lit('"'), s, F.lit('"')))
+        .when(t == "BOOLEAN", F.when(F.try_variant_get(tv, "$", "boolean"), "true").otherwise("false"))
+        .when(t == "BIGINT", F.try_variant_get(tv, "$", "long").cast("string"))
+    )
+    renderable = (
+        missing
+        | isnull
+        | ((t == "STRING") & s.rlike(_MAP_KEY_SAFE_RLIKE))
+        | (t == "BOOLEAN")
+        | (t == "BIGINT")
+    )
+    return txt, ~F.coalesce(renderable, F.lit(False))
+
+
+def _leaf(
+    cond: Column,
+    *,
+    exact: bool,
+    fail_chain: list[tuple[Column, str]] | None = None,
+    und: Column | None = None,
+    tv: Column | None = None,
+    path: str | None = None,
+) -> _Screen:
+    """Leaf screen. When the caller supplies the fail side — ``fail_chain``,
+    the interpreter's first-error dispatch as ordered (condition, error
+    string) pairs (no condition true ⇔ pass), plus an optional ``und``
+    (rows where the pass/fail decision or error choice is not exactly
+    computable JVM-side) — and the leaf sits at a literal ``path``, compile
+    femit/viols/fout so provably-FAILING rows skip the interpreter too.
+    Soundness: a femit row whose chain fires is emitted as FAIL with
+    exactly the interpreter's (path, rule, error, value); the engine routes
+    cond rows to the pass branch first, so the two never both claim a row.
+    Error strings outside the concat-safe alphabet (e.g. an $enum whose
+    values need JSON escaping) disable the fail side, never corrupt it."""
+    s = _Screen(cond, F.lit("null"), exact, True)
+    if not fail_chain or path is None or tv is None:
+        return s
+    if not all(_ERR_SAFE.match(e) for _, e in fail_chain):
+        return s
+    from yaschva_spark.errors import rule_id_for
+
+    err = rule = None
+    for c, e in fail_chain:
+        err = F.when(c, F.lit(e)) if err is None else err.when(c, F.lit(e))
+        r = F.lit(rule_id_for(e))
+        rule = F.when(c, r) if rule is None else rule.when(c, r)
+    val_txt, val_und = _render_value(tv)
+    bad = err.isNotNull() & ~val_und
+    if und is not None:
+        bad = bad & ~F.coalesce(und, F.lit(False))
+    s.femit = F.coalesce(cond, F.lit(False)) | F.coalesce(bad, F.lit(False))
+    s.viols = F.when(
+        bad,
+        F.array(
+            F.struct(
+                F.lit(path).alias("path"),
+                rule.alias("rule"),
+                err.alias("error"),
+                val_txt.alias("value"),
+            )
+        ),
+    ).otherwise(_empty_viols())
+    s.fout = F.when(
+        F.coalesce(cond, F.lit(False)), F.lit("null")
+    ).otherwise(F.concat(F.lit('{"error":"'), err, F.lit('","value":'), val_txt, F.lit("}")))
+    return s
 
 
 def _string_cond(tv: Column) -> Column:
@@ -171,11 +295,35 @@ def _screen(
     custom: dict[str, Any],
     stack: frozenset,
     depth: int,
+    path: str | None = None,
+) -> _Screen:
+    """Compile schema ``node`` and normalize the fail-side defaults: a node
+    that didn't compile a fail side can still emit its PASS outcome
+    (femit=cond, empty viols, fout=out)."""
+    s = _screen_raw(node, tv, txt, custom, stack, depth, path)
+    if s.femit is None:
+        s.femit = F.coalesce(s.cond, F.lit(False))
+    if s.viols is None:
+        s.viols = _empty_viols()
+    if s.fout is None:
+        s.fout = s.out
+    return s
+
+
+def _screen_raw(
+    node: Any,
+    tv: Column,
+    txt: Column | None,
+    custom: dict[str, Any],
+    stack: frozenset,
+    depth: int,
+    path: str | None,
 ) -> _Screen:
     """Compile schema ``node`` over value variant ``tv`` (SQL NULL =
     missing / JS undefined). ``txt`` is the node's original JSON text when
     it sits at a literal path from the root (needed for data-order keys),
-    else None."""
+    else None. ``path`` is the node's literal JSONPath when known (the
+    fail screen's violation rows need it), else None (fail side off)."""
     if depth > _MAX_DEPTH:
         raise ScreenNotApplicable("schema nesting beyond screen depth budget")
 
@@ -189,75 +337,117 @@ def _screen(
         if not js_falsy(resolved) and resolved is not None:
             if node in stack:
                 raise ScreenNotApplicable(f"recursive custom type {node!r}")
-            return _screen(resolved, tv, txt, custom, stack | {node}, depth + 1)
+            return _screen(resolved, tv, txt, custom, stack | {node}, depth + 1, path)
+        from yaschva_spark import errors as E
+
         if node == "any":
             return _leaf(F.lit(True), exact=True)
         if node == "?":
-            return _leaf(tv.isNull(), exact=True)
-        if node == "null":
-            return _leaf(tv.isNotNull() & F.is_variant_null(tv), exact=True)
-        if node == "string":
-            return _leaf(_string_cond(tv), exact=True)
-        if node == "boolean":
-            return _leaf(_present(tv) & (_vtype(tv) == "BOOLEAN"), exact=True)
-        if node == "number":
             return _leaf(
-                _present(tv) & _is_number_type(tv) & _finite(_dval(tv)), exact=True
+                tv.isNull(), exact=True, tv=tv, path=path,
+                fail_chain=[(tv.isNotNull(), E.NOT_UNDEFINED)],
+            )
+        if node == "null":
+            cond = tv.isNotNull() & F.is_variant_null(tv)
+            return _leaf(
+                cond, exact=True, tv=tv, path=path,
+                fail_chain=[(~cond, E.NOT_NULL)],
+            )
+        if node == "string":
+            return _leaf(
+                _string_cond(tv), exact=True, tv=tv, path=path,
+                fail_chain=[(~_string_cond(tv), E.NOT_STRING)],
+            )
+        if node == "boolean":
+            cond = _present(tv) & (_vtype(tv) == "BOOLEAN")
+            return _leaf(
+                cond, exact=True, tv=tv, path=path,
+                fail_chain=[(~cond, E.NOT_BOOLEAN)],
+            )
+        if node == "number":
+            cond = _present(tv) & _is_number_type(tv) & _finite(_dval(tv))
+            return _leaf(
+                cond, exact=True, tv=tv, path=path,
+                fail_chain=[(~cond, E.NOT_NUMBER)],
             )
         if node == "integer":
             v = _dval(tv)
-            return _leaf(
+            cond = (
                 _present(tv)
                 & _is_number_type(tv)
                 & _finite(v)
                 & (F.floor(v) == v)
-                & (F.abs(v) <= F.lit(float(MAX_SAFE))),
-                exact=True,
+                & (F.abs(v) <= F.lit(float(MAX_SAFE)))
+            )
+            # every failure mode is the same error (interp._v_integer), and
+            # the 2^53 window compares exactly through double for any i64
+            return _leaf(
+                cond, exact=True, tv=tv, path=path,
+                fail_chain=[(~cond, E.NOT_INTEGER)],
             )
         raise ScreenNotApplicable(f"custom type {node!r}")
 
     if isinstance(node, list):
-        return _screen_union(node, tv, txt, custom, stack, depth)
+        return _screen_union(node, tv, txt, custom, stack, depth, path)
 
     if isinstance(node, dict):
+        from yaschva_spark import errors as E
+
         if "$type" in node:
-            return _screen(node["$type"], tv, txt, custom, stack, depth + 1)
+            return _screen(node["$type"], tv, txt, custom, stack, depth + 1, path)
         if "$enum" in node:
             enums = node["$enum"]
             cond = _string_cond(tv)
+            chain = [(~_string_cond(tv), E.NOT_STRING)]
             if enums:  # reference: `enums && enums.length && ...` skips []
                 s = F.try_variant_get(tv, "$", "string")
                 cond = cond & s.isin(list(enums))
-            return _leaf(cond, exact=True)
+                chain.append((~s.isin(list(enums)), E.enum_mismatch(list(enums))))
+            return _leaf(cond, exact=True, tv=tv, path=path, fail_chain=chain)
         if "$string" in node:
             spec = node["$string"]
             s = F.try_variant_get(tv, "$", "string")
             cond = _string_cond(tv)
+            chain = [(~_string_cond(tv), E.NOT_STRING)]
             from yaschva_spark.typed import js_strlen  # UTF-16 code units
 
             if not js_falsy(spec.get("minLength")):
                 cond = cond & (js_strlen(s) >= F.lit(spec["minLength"]))
+                chain.append((js_strlen(s) < F.lit(spec["minLength"]), E.STR_TOO_SHORT))
             if not js_falsy(spec.get("maxLength")):
                 cond = cond & (js_strlen(s) <= F.lit(spec["maxLength"]))
+                chain.append((js_strlen(s) > F.lit(spec["maxLength"]), E.STR_TOO_LONG))
             pattern = spec.get("regex")
             if not js_falsy(pattern):
                 if typed_unsafe(pattern):
                     raise ScreenNotApplicable("ECMA-only regex")
                 cond = cond & s.rlike(to_java_pattern(pattern))
-            return _leaf(cond, exact=True)
+                chain.append((~s.rlike(to_java_pattern(pattern)), E.REGEX_MISMATCH))
+            return _leaf(cond, exact=True, tv=tv, path=path, fail_chain=chain)
         if "$number" in node:
             spec = node["$number"]
             v = _dval(tv)
-            cond = _present(tv) & _is_number_type(tv) & _finite(v)
+            numeric = _present(tv) & _is_number_type(tv) & _finite(v)
+            cond = numeric
+            chain = [(~numeric, E.NOT_NUMBER)]
+            und = None
             lo, hi = spec.get("min"), spec.get("max")
             if lo is not None or hi is not None:
                 cond = cond & _exact_as_double(tv, v)
+                # outside the integer-exact window neither the bound
+                # comparison nor the below/above choice is trustworthy
+                und = numeric & ~_exact_as_double(tv, v)
             if lo is not None:
                 cond = cond & (v >= F.lit(float(lo)))
+                chain.append((v < F.lit(float(lo)), E.NUM_BELOW_MIN))
             if hi is not None:
                 cond = cond & (v <= F.lit(float(hi)))
+                chain.append((v > F.lit(float(hi)), E.NUM_ABOVE_MAX))
             # the representability guard makes bounded checks one-way only
-            return _leaf(cond, exact=lo is None and hi is None)
+            return _leaf(
+                cond, exact=lo is None and hi is None,
+                tv=tv, path=path, fail_chain=chain, und=und,
+            )
         if "$array" in node:
             return _screen_array(node, tv, custom, stack, depth)
         if "$map" in node:
@@ -269,9 +459,9 @@ def _screen(
                 # the reference data-FAILS every value here (validate.ts:
                 # 244-247's combine throw path) — unprovable, not wrong
                 raise ScreenNotApplicable("$and members not all objects")
-            return _screen(merged, tv, txt, custom, stack, depth + 1)
+            return _screen(merged, tv, txt, custom, stack, depth + 1, path)
         if not any(k.startswith("$") for k in node):
-            return _screen_object(node, tv, txt, custom, stack, depth)
+            return _screen_object(node, tv, txt, custom, stack, depth, path)
         raise ScreenNotApplicable(f"unscreenable node keys {sorted(node)!r}")
 
     raise ScreenNotApplicable(f"unscreenable node {type(node).__name__}")
@@ -280,15 +470,18 @@ def _screen(
 def _screen_union(
     node: list, tv: Column, txt: Column | None,
     custom: dict[str, Any], stack: frozenset, depth: int,
+    path: str | None = None,
 ) -> _Screen:
     """Ordered union prefix (module docstring): the when-chain replicates
-    first-passing-branch output only while every earlier branch is exact."""
+    first-passing-branch output only while every earlier branch is exact.
+    No fail side: a union failure's output nests every branch's error
+    (validate.ts:95-103) — the normalized default (femit=cond) applies."""
     if not node:
         raise ScreenNotApplicable("empty union (schema error path)")
     chain: list[_Screen] = []
     for branch in node:
         try:
-            r = _screen(branch, tv, txt, custom, stack, depth + 1)
+            r = _screen(branch, tv, txt, custom, stack, depth + 1, None)
         except ScreenNotApplicable:
             break
         chain.append(r)
@@ -400,17 +593,31 @@ def _screen_map(
 def _screen_object(
     node: dict, tv: Column, txt: Column | None,
     custom: dict[str, Any], stack: frozenset, depth: int,
+    path: str | None = None,
 ) -> _Screen:
     """validateObject (validate.ts:128-159): closed world. NOT exact (the
     reference also accepts JS arrays). Output is data keys in DATA order
     (text-level ``json_object_keys`` — VARIANT sorts keys) followed by
     missing declared keys in schema order, each rendered through its own
-    field output via an ``element_at`` dispatch map."""
+    field output via an ``element_at`` dispatch map.
+
+    Fail side: when the STRUCTURAL checks hold (real JSON object, closed
+    keyset) the object's outcome is decided entirely by its fields, so the
+    object is fail-emittable exactly when every field is — viols are the
+    fields' viols concatenated in the interpreter's output order (data keys
+    first, then missing declared keys; interp._v_object builds its output
+    dict in that order and violations_from_output flattens it in dict
+    order), and fout dispatches each field's fail-aware output. Structural
+    failures (non-object value, extra keys) go to the interpreter: their
+    offending value is the whole object, which the JVM cannot re-render
+    canonically."""
     if txt is None:
         raise ScreenNotApplicable("object not at a literal path (needs text)")
     field_keys: list[str] = []
-    conds: list[Column] = []
+    subs: list[_Screen] = []
     out_pairs: list[Column] = []
+    fout_pairs: list[Column] = []
+    viol_pairs: list[Column] = []
     for schema_key, sub in node.items():
         data_key = unescape_key(schema_key)
         if not _SAFE_KEY.match(data_key):
@@ -418,9 +625,12 @@ def _screen_object(
         field_keys.append(data_key)
         tv_k = F.try_variant_get(tv, f"$.{data_key}", "variant")
         txt_k = F.get_json_object(txt, f"$.{data_key}")
-        r = _screen(sub, tv_k, txt_k, custom, stack, depth + 1)
-        conds.append(r.cond)
+        sub_path = f"{path}.{data_key}" if path is not None else None
+        r = _screen(sub, tv_k, txt_k, custom, stack, depth + 1, sub_path)
+        subs.append(r)
         out_pairs.extend([F.lit(data_key), r.out])
+        fout_pairs.extend([F.lit(data_key), r.fout])
+        viol_pairs.extend([F.lit(data_key), r.viols])
 
     data_keys = F.array_distinct(F.json_object_keys(txt))
     if field_keys:
@@ -428,31 +638,49 @@ def _screen_object(
     else:
         declared = F.array().cast("array<string>")
     keyset_ok = F.size(F.array_except(data_keys, declared)) == 0
-    cond = tv.isNotNull() & _vtype(tv).startswith("OBJECT") & keyset_ok
-    for c in conds:
-        cond = cond & c
+    struct_ok = tv.isNotNull() & _vtype(tv).startswith("OBJECT") & keyset_ok
+    cond = struct_ok
+    for r in subs:
+        cond = cond & r.cond
 
     if field_keys:
-        out_map = F.create_map(*out_pairs)
         all_keys = F.concat(data_keys, F.array_except(declared, data_keys))
-        body = F.array_join(
-            F.transform(
-                all_keys,
-                lambda k: F.concat(
-                    F.lit('"'), k, F.lit('":'), F.element_at(out_map, k)
+
+        def _dispatch(pairs: list[Column]) -> Column:
+            m = F.create_map(*pairs)
+            body = F.array_join(
+                F.transform(
+                    all_keys,
+                    lambda k: F.concat(
+                        F.lit('"'), k, F.lit('":'), F.element_at(m, k)
+                    ),
                 ),
-            ),
-            ",",
+                ",",
+            )
+            return F.concat(F.lit("{"), body, F.lit("}"))
+
+        out = _dispatch(out_pairs)
+        fout = _dispatch(fout_pairs)
+        vmap = F.create_map(*viol_pairs)
+        viols = F.flatten(
+            F.transform(
+                all_keys, lambda k: F.coalesce(F.element_at(vmap, k), _empty_viols())
+            )
         )
-        out = F.concat(F.lit("{"), body, F.lit("}"))
-    else:
-        out = F.lit("{}")
+        femit = F.coalesce(struct_ok, F.lit(False))
+        for r in subs:
+            femit = femit & F.coalesce(r.femit, F.lit(False))
+        return _Screen(
+            cond, out, exact=False, null_out=False,
+            femit=femit, fout=fout, viols=viols,
+        )
+    out = F.lit("{}")
     return _Screen(cond, out, exact=False, null_out=False)
 
 
 def _compile(schema: Any, raw: Column) -> _Screen:
     pv = F.try_parse_json(raw)
-    return _screen(schema, pv, raw, {}, frozenset(), 0)
+    return _screen(schema, pv, raw, {}, frozenset(), 0, "$")
 
 
 def compile_pass_screen(schema: Any, raw: Column) -> Column:
@@ -467,3 +695,27 @@ def pass_output_col(schema: Any, raw: Column) -> Column:
     in the interpreter's key order (DATA order first, then missing
     declared keys in schema order; interp._v_object)."""
     return _compile(schema, raw).out
+
+
+def compile_screens(schema: Any, raw: Column) -> dict[str, Column]:
+    """One compilation, both screens (r5). Returns
+
+    * ``"pass"`` — provably-pass boolean (== :func:`compile_pass_screen`);
+    * ``"pass_out"`` — yv_output for proven-pass rows;
+    * ``"emit"`` — outcome (pass OR fail) exactly JVM-representable;
+    * ``"viols"`` — the interpreter's violation rows, valid when ``emit``;
+    * ``"fail_out"`` — yv_output valid when ``emit`` (== pass_out on pass).
+
+    Rows with ``emit & ~pass`` are provably FAILING with byte-exact
+    violations/output — they skip Arrow entirely. Rows with ``~emit`` run
+    interpreted. Raises :class:`ScreenNotApplicable` outside the fragment
+    (same fragment as the pass screen; the fail side degrades per-node,
+    never widens the fragment)."""
+    s = _compile(schema, raw)
+    return {
+        "pass": F.coalesce(s.cond, F.lit(False)),
+        "pass_out": s.out,
+        "emit": F.coalesce(s.femit, F.lit(False)),
+        "viols": s.viols,
+        "fail_out": s.fout,
+    }
