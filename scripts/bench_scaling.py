@@ -134,13 +134,20 @@ def main() -> None:
     job_ratios = [p[0]["job_sec"] / p[1]["job_sec"] for p in pairs]
     micro_ratios = [p[0]["micro_sec"] / p[1]["micro_sec"] for p in pairs]
     cap_ratios = [j / m for j, m in zip(job_ratios, micro_ratios)]
+    stream_ratios = [p[0]["stream_sec"] / p[1]["stream_sec"] for p in pairs]
+    stream_cap_ratios = [s / m for s, m in zip(stream_ratios, micro_ratios)]
 
     job_speedup = round(_median(job_ratios), 3)
     cpu_speedup = round(_median(micro_ratios), 3)
     eff_raw = round(job_speedup / 4.0, 3)
     eff_cap = round(_median(cap_ratios), 3)
+    stream_speedup = round(_median(stream_ratios), 3)
+    stream_eff_raw = round(stream_speedup / 4.0, 3)
+    stream_eff_cap = round(_median(stream_cap_ratios), 3)
     small_med = round(_median([p[0]["job_sec"] for p in pairs]), 3)
     big_med = round(_median([p[1]["job_sec"] for p in pairs]), 3)
+    s_small_med = round(_median([p[0]["stream_sec"] for p in pairs]), 3)
+    s_big_med = round(_median([p[1]["stream_sec"] for p in pairs]), 3)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — measured scaling baseline
@@ -169,14 +176,21 @@ Each rep also times a pure-CPU probe (sha2 bit_xor agg over ``spark.range``
 — codegen only, no I/O/shuffle/Python) in the same two JVMs. Reported
 numbers are medians of per-rep ratios. Warmup pair excluded.
 
-| config (stand-in for cluster size) | median job sec | median rows/sec |
-|---|---|---|
-| `local[{n}]`  (N)  | {small_med} | {round(rows / small_med):,} |
-| `local[{n4}]` (4N) | {big_med} | {round(rows / big_med):,} |
+Each rep also drains the same table through the STREAMING ingestion path
+(file-source stream in 4 micro-batches of 16 files + the idempotent
+foreachBatch validation sink, fresh checkpoint per rep) so the scaling
+evidence covers file listing, micro-batch planning, and per-batch
+manifest/violation writes too (r5, VERDICT r4 #8).
+
+| config (stand-in for cluster size) | median job sec | median rows/sec | median stream sec |
+|---|---|---|---|
+| `local[{n}]`  (N)  | {small_med} | {round(rows / small_med):,} | {s_small_med} |
+| `local[{n4}]` (4N) | {big_med} | {round(rows / big_med):,} | {s_big_med} |
 
 | per-rep medians | value |
 |---|---|
 | job speedup N -> 4N | **{job_speedup}x** |
+| streaming-ingest speedup N -> 4N | {stream_speedup}x |
 | pure-CPU capacity speedup at the same step | {cpu_speedup}x |
 
 ## Scaling efficiency
@@ -185,6 +199,8 @@ numbers are medians of per-rep ratios. Warmup pair excluded.
 |---|---|
 | raw = job_speedup / 4 | **{eff_raw}** |
 | capacity-normalized = job_speedup / capacity_speedup (per-rep) | **{eff_cap}** |
+| streaming raw = stream_speedup / 4 | {stream_eff_raw} |
+| streaming capacity-normalized | {stream_eff_cap} |
 
 Acceptance (north rule) is ≥ 0.8 going N -> 4N **executors**. The
 pure-CPU probe measures what this host actually hands software across
@@ -210,11 +226,11 @@ whereas executor-local disks scale with N on a cluster
 
 Per-rep job (sec) and ratios:
 
-| rep | local[{n}] | local[{n4}] | job ratio | cpu ratio | capacity-normalized |
-|---|---|---|---|---|---|
+| rep | local[{n}] | local[{n4}] | job ratio | stream ratio | cpu ratio | capacity-normalized |
+|---|---|---|---|---|---|---|
 """ + "\n".join(
         f"| {i + 1} | {p[0]['job_sec']} | {p[1]['job_sec']} | {job_ratios[i]:.2f} "
-        f"| {micro_ratios[i]:.2f} | {cap_ratios[i]:.2f} |"
+        f"| {stream_ratios[i]:.2f} | {micro_ratios[i]:.2f} | {cap_ratios[i]:.2f} |"
         for i, p in enumerate(pairs)
     ) + f"""
 
@@ -230,8 +246,13 @@ oracle suites) and the driver's DuckDB cross-check at sf0.01.
     print(json.dumps({
         "efficiency_raw": eff_raw, "efficiency_capacity_normalized": eff_cap,
         "job_speedup": job_speedup, "cpu_capacity_speedup": cpu_speedup,
+        "stream_speedup": stream_speedup,
+        "stream_efficiency_raw": stream_eff_raw,
+        "stream_efficiency_capacity_normalized": stream_eff_cap,
         "small_median_sec": small_med, "big_median_sec": big_med,
+        "stream_small_median_sec": s_small_med, "stream_big_median_sec": s_big_med,
         "job_ratios": [round(x, 3) for x in job_ratios],
+        "stream_ratios": [round(x, 3) for x in stream_ratios],
         "micro_ratios": [round(x, 3) for x in micro_ratios],
     }))
 

@@ -34,9 +34,10 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from yaschva_spark.fixtures import repos_dim
+    from yaschva_spark.fixtures import CODE_SCHEMA, repos_dim
     from yaschva_spark.pipeline import run_validation_job
     from yaschva_spark.session import get_spark
+    from yaschva_spark.streaming import incremental_validation_sink, read_stream
 
     shm = "/dev/shm/yv_scaling"
     os.makedirs(shm, exist_ok=True)
@@ -72,11 +73,29 @@ def main() -> None:
             job_sec = time.monotonic() - t0
         finally:
             shutil.rmtree(out, ignore_errors=True)
+        # streaming-ingestion segment (r5, VERDICT r4 #8): drain the same
+        # table through the file-source stream + foreachBatch validation
+        # sink, fresh checkpoint per run, so the scaling evidence covers
+        # file listing, micro-batch planning, and the idempotent-sink
+        # machinery too. maxFilesPerTrigger=16 forces 4 micro-batches over
+        # the 64-file input (one availableNow mega-batch would measure the
+        # batch path twice).
+        sdir = tempfile.mkdtemp(prefix="yv_stream_", dir=shm)
+        try:
+            t0 = time.monotonic()
+            stream = read_stream(spark, args.data, code.schema, max_files_per_trigger=16)
+            q = incremental_validation_sink(stream, CODE_SCHEMA, sdir)
+            if not q.awaitTermination(1200):
+                q.stop()
+                raise RuntimeError("streaming segment did not drain in 1200 s")
+            stream_sec = time.monotonic() - t0
+        finally:
+            shutil.rmtree(sdir, ignore_errors=True)
         t0 = time.monotonic()
         micro_df.agg(micro_expr).collect()
         micro_sec = time.monotonic() - t0
-        return {"job_sec": round(job_sec, 3), "micro_sec": round(micro_sec, 3),
-                "rows": n_rows}
+        return {"job_sec": round(job_sec, 3), "stream_sec": round(stream_sec, 3),
+                "micro_sec": round(micro_sec, 3), "rows": n_rows}
 
     print("READY", flush=True)
     for line in sys.stdin:
