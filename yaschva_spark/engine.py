@@ -128,6 +128,30 @@ def explode_violations(validated: DataFrame, id_cols: list[str]) -> DataFrame:
     )
 
 
+#: memoized staged screen compilations, keyed by (applicationId,
+#: schema-json, column). Building the Column tree costs hundreds of py4j
+#: round trips (~0.9 s measured for the nested schema) and is a pure
+#: function of the key; the applicationId guards against stale JVM refs
+#: after a session restart. Negative results (unscreenable) cache too.
+_SCREEN_CACHE: dict = {}
+
+
+def _compiled_screens(app_id: str, schema_blob: str, json_col: str):
+    from yaschva_spark.jsonscreen import ScreenNotApplicable, compile_screens
+
+    key = (app_id, schema_blob, json_col)
+    hit = _SCREEN_CACHE.get(key)
+    if hit is None:
+        try:
+            hit = compile_screens(json.loads(schema_blob), F.col(json_col), staged=True)
+        except ScreenNotApplicable as ex:
+            hit = ex
+        _SCREEN_CACHE[key] = hit
+    if isinstance(hit, Exception):
+        raise hit
+    return hit
+
+
 def validate_json_table(
     df: DataFrame,
     schema: Any,
@@ -190,12 +214,19 @@ def validate_json_table(
     ``defaultParallelism`` are repartitioned up front (the shuffled
     projection is just ``keep + json``; no-op at scale).
 
-    The split is THREE-way since r5: proven-pass rows project pure-JVM as
-    before, provably-FAILING rows whose exact violations the fail screen
-    can render (jsonscreen.compile_screens) project pure-JVM too, and only
-    the residue — rows neither screen can decide or render exactly — runs
-    the interpreter. On the nested bench corpus the residue is 0%: every
-    row is decided without crossing Arrow.
+    Since r5 the routing is three-way but the PLAN has two branches:
+    proven-pass AND provably-failing rows (the fail screen renders their
+    exact violations/output JVM-side — jsonscreen.compile_screens) take
+    one pure-JVM projection, and only the residue — rows neither screen
+    can decide or render exactly — runs the interpreter. On the nested
+    bench corpus the residue is 0%: every row is decided without crossing
+    Arrow. The screen compiles STAGED (shared subexpressions as chained
+    projection columns, memoized per schema in _SCREEN_CACHE): measured at
+    sf0.1, unstaged fail-side expressions re-walked the variant inside
+    every consumer (~2.2 s/run), staging + memoization + the two-branch
+    plan brought it to ~0.95 s, of which the per-row work is ~0.1 s — the
+    remainder is fixed driver/planning cost that amortizes to nothing at
+    table scale.
 
     ``observe="name"`` attaches a CollectMetrics node to the screened
     projection (zero extra passes) counting rows, proven-pass rows, and
@@ -212,11 +243,18 @@ def validate_json_table(
         raise ValueError(f"screen_materialize: {screen_materialize!r}")
 
     screens = None
+    screen_levels: list = []
     if screen:
-        from yaschva_spark.jsonscreen import ScreenNotApplicable, compile_screens
+        from yaschva_spark.jsonscreen import ScreenNotApplicable
 
         try:
-            screens = compile_screens(schema, F.col(json_col))
+            # staged: shared subexpressions (parsed variant, per-field
+            # sub-variants, leaf error/value columns) become projection
+            # columns evaluated ONCE per row — the unstaged tree re-walks
+            # them inside every consumer (measured ~4x on the fail side)
+            screen_levels, screens = _compiled_screens(
+                df.sparkSession.sparkContext.applicationId, schema_blob, json_col
+            )
         except ScreenNotApplicable:
             screens = None
 
@@ -272,16 +310,23 @@ def validate_json_table(
         return src.mapInPandas(run_batches, schema=out_ddl)
 
     jvmfail = ~screens["pass"] & screens["emit"]
-    scr = src.select(
+    staged = src
+    for lvl in screen_levels:
+        if lvl:
+            staged = staged.select("*", *[c.alias(n) for n, c in lvl.items()])
+    scr = staged.select(
         *need,
         screens["pass"].alias("__yv_screen"),
+        screens["emit"].alias("__yv_emit"),
         jvmfail.alias("__yv_jvmfail"),
         # built only for the rows that use them (NULL otherwise) so no
         # branch pays another branch's string construction or storage
         F.when(screens["pass"], screens["pass_out"])
         .when(jvmfail, screens["fail_out"])
         .alias("__yv_out"),
-        F.when(jvmfail, screens["viols"]).alias("__yv_viols"),
+        F.when(jvmfail, screens["viols"])
+        .when(screens["pass"], F.array().cast(VIOLATION_DDL))
+        .alias("__yv_viols"),
     )
     if observe is not None:
         # free telemetry: a CollectMetrics node on the screened projection
@@ -304,23 +349,20 @@ def validate_json_table(
         from yaschva_spark.cache import persist_tracked
 
         scr = persist_tracked(scr)
-    proven = scr.filter(F.col("__yv_screen")).select(
+    # ONE emitted branch covers proven-pass AND proven-fail (the r5 fail
+    # screen): pure projection, no Arrow crossing; only the residue — rows
+    # neither screen can decide or render exactly — runs the interpreter.
+    # Two branches, not three: each branch is another scan of the persisted
+    # projection and another subtree for the planner.
+    emitted = scr.filter(F.col("__yv_emit")).select(
         *keep,
-        F.lit(True).alias(PASS_COL),
-        F.array().cast(VIOLATION_DDL).alias(VIOLATIONS_COL),
-        F.col("__yv_out").alias("yv_output"),
-    )
-    # provably-failing rows with byte-exact JVM violations/output (the r5
-    # fail screen): pure projection, no Arrow crossing
-    proven_fail = scr.filter(F.col("__yv_jvmfail")).select(
-        *keep,
-        F.lit(False).alias(PASS_COL),
+        F.col("__yv_screen").alias(PASS_COL),
         F.col("__yv_viols").cast(VIOLATION_DDL).alias(VIOLATIONS_COL),
         F.col("__yv_out").alias("yv_output"),
     )
     tail = (
-        scr.filter(~F.col("__yv_screen") & ~F.col("__yv_jvmfail"))
+        scr.filter(~F.col("__yv_emit"))
         .select(*need)
         .mapInPandas(run_batches, schema=out_ddl)
     )
-    return proven.unionByName(proven_fail).unionByName(tail)
+    return emitted.unionByName(tail)
