@@ -174,8 +174,13 @@ def _q_props_json_validation(spark, sf_dir):
     # screen=False is the measured-fastest plan for this corpus: rows are
     # narrow (event_id + a tiny props blob) and ~half violate, so the
     # VARIANT screen (~32 us/row of interpreted JVM ops) costs as much as
-    # the whole interpreter (~30 us/row incl. Arrow) while saving nothing
-    # (engine.validate_json_table docstring has the regime guidance)
+    # the whole interpreter (~30 us/row incl. Arrow) while saving nothing.
+    # RE-MEASURED r5 with the fail screen (which decides 100% of this
+    # corpus JVM-side too): still loses locally — ~0.9 s interpreter vs
+    # ~1 s+ screened, the split plan's fixed driver/planning cost dwarfs
+    # the per-row work at this size. nested_json_validation keeps
+    # screen=True as the screened representative (engine docstring has the
+    # regime guidance)
     from yaschva_spark.engine import validate_json_table
 
     events = _t(spark, sf_dir, "events")
