@@ -112,3 +112,31 @@ def test_screen_coverage_telemetry(spark):
     }
     # unknown / unobserved names answer None, never a stale observation
     assert screen_coverage("no_such_observation") is None
+
+
+def test_compiled_screen_memoization(spark):
+    """The staged screen's Column tree costs ~0.9 s of py4j round trips to
+    build — engine._compiled_screens must reuse it per (app, schema, col)
+    and key on the application id so a session restart can't serve stale
+    JVM references."""
+    import json as _json
+
+    from yaschva_spark.engine import _SCREEN_CACHE, _compiled_screens
+
+    blob = _json.dumps({"k": "integer"})
+    a = _compiled_screens("app-1", blob, "js")
+    b = _compiled_screens("app-1", blob, "js")
+    assert a is b  # cache hit: identical tuple object
+    c = _compiled_screens("app-2", blob, "js")
+    assert c is not a  # new application id -> fresh compilation
+    # negative results (unscreenable shapes) cache as the exception
+    import pytest as _pytest
+
+    from yaschva_spark.jsonscreen import ScreenNotApplicable
+
+    bad = _json.dumps({"k": "noSuchType"})
+    with _pytest.raises(ScreenNotApplicable):
+        _compiled_screens("app-1", bad, "js")
+    assert isinstance(_SCREEN_CACHE[("app-1", bad, "js")], ScreenNotApplicable)
+    with _pytest.raises(ScreenNotApplicable):
+        _compiled_screens("app-1", bad, "js")
