@@ -363,8 +363,12 @@ FAIL_ROWS = [
     (19, '{"lang": "en", "n": 9007199254740993, "name": "abc", "flag": true, "cnt": 1}', False),  # bound compare undecidable
     (20, '{"lang": ["x"], "n": 5, "name": "abc", "flag": true, "cnt": 1}', False),  # composite offending value
     (21, '{"lang": "zz", "n": 99, "name": "a", "flag": 0, "cnt": "x"}', True),    # every field failing at once
-    (22, '{"note": 4, "lang": "en", "n": 5, "name": "abc", "flag": true, "cnt": 1}', False),  # union failure -> interp
+    # union failure over exact leaf branches: compilable since r5 —
+    # UNION_MISMATCH + per-branch errors at the same path
+    (22, '{"note": 4, "lang": "en", "n": 5, "name": "abc", "flag": true, "cnt": 1}', True),
     (23, '{"lang": "en", "n": 5, "name": "abc", "flag": true, "cnt": 1, "note": "ok"}', True),  # union passing branch
+    # union failure with an UNRENDERABLE offending value -> interp
+    (24, '{"note": 1.5, "lang": "en", "n": 5, "name": "abc", "flag": true, "cnt": 1}', False),
 ]
 
 
@@ -411,3 +415,32 @@ def test_fail_screen_violation_rows_exact(spark):
     # and the JVM-built failing yv_output is the interpreter's, byte for byte
     b = validate_json_table(df, FAIL_SCREEN_SCHEMA, "js", screen=False).collect()[0]
     assert out["yv_output"] == b["yv_output"]
+
+
+def test_fail_screen_union_rows_exact(spark):
+    """Union total failure, JVM-emitted: one union_mismatch row plus each
+    branch's error at the SAME path (violations_from_output's branch list),
+    and yv_output nesting every branch's error object in order."""
+    from yaschva_spark.jsonscreen import compile_screens
+
+    schema = {"v": ["?", "null", "integer"]}
+    df = spark.createDataFrame([(1, '{"v": "oops"}')], "id long, js string")
+    assert df.select(compile_screens(schema, F.col("js"))["emit"]).collect()[0][0]
+    out = validate_json_table(df, schema, "js", screen=True).collect()[0]
+    assert out["yv_valid"] is False
+    got = [(v["path"], v["rule"], v["error"], v["value"]) for v in out["yv_violations"]]
+    assert got == [
+        ("$.v", "union_mismatch", "Did not match any from the listed types", '"oops"'),
+        ("$.v", "not_undefined", "Value is not undefined", '"oops"'),
+        ("$.v", "not_null", "Value is not null", '"oops"'),
+        ("$.v", "not_integer", "Value is not an integer ", '"oops"'),
+    ]
+    b = validate_json_table(df, schema, "js", screen=False).collect()[0]
+    assert out["yv_output"] == b["yv_output"]
+    # a union containing a bounded $number branch (compile-time non-exact)
+    # must NOT fail-compile: ~cond does not imply interpreter-fail there
+    bounded = {"v": ["?", {"$number": {"min": 0, "max": 5}}]}
+    emit = compile_screens(bounded, F.col("js"))["emit"]
+    row = spark.createDataFrame([(1, '{"v": "oops"}')], "id long, js string") \
+        .select(emit).collect()[0][0]
+    assert row is False or row == False  # noqa: E712 — fail not emittable

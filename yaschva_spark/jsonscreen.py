@@ -148,6 +148,10 @@ class _Screen:
     #: node's columns references (a parent staging its assembly must go
     #: one above)
     lvl: int = 0
+    #: leaf fail parts ``(err, rule, val_txt, bad)`` — set only by
+    #: fail-compiled leaves so a UNION can compose its total-failure
+    #: output (every branch's error at the same path) from them
+    leaf_fail: tuple | None = None
 
 
 #: violation rows schema (matches typed.VIOLATION_DDL)
@@ -326,6 +330,7 @@ def _leaf(
     s.fout = F.when(
         F.coalesce(cond, F.lit(False)), F.lit("null")
     ).otherwise(F.concat(F.lit('{"error":"'), err, F.lit('","value":'), val_txt, F.lit("}")))
+    s.leaf_fail = (err, rule, val_txt, bad)
     return s
 
 
@@ -537,14 +542,26 @@ def _screen_union(
 ) -> _Screen:
     """Ordered union prefix (module docstring): the when-chain replicates
     first-passing-branch output only while every earlier branch is exact.
-    No fail side: a union failure's output nests every branch's error
-    (validate.ts:95-103) — the normalized default (femit=cond) applies."""
+
+    Fail side (r5): for a FULLY-covered union of compile-time-EXACT,
+    fail-compiled leaves, total failure is decidable — ``~cond`` means
+    every branch failed (exactness), and the interpreter's output is
+    ``{"error": UNION_MISMATCH, "value": v, "output": [each branch's
+    error object, in order]}`` (interp._v_one_of / validate.ts:91-104)
+    with violation rows: one union_mismatch row, then each branch's error
+    row at the SAME path (violations_from_output's _branches list).
+    Unions containing any non-exact branch (e.g. bounded $number, whose
+    inexactness is row-dependent) or non-leaf branch keep the default
+    (pass-only emission)."""
     if not node:
         raise ScreenNotApplicable("empty union (schema error path)")
     chain: list[_Screen] = []
     for branch in node:
         try:
-            r = _screen(branch, tv, txt, custom, stack, depth + 1, None, stage, level)
+            # branches get the union's own path: their standalone viols are
+            # ignored (the union composes its own rows below), and branch
+            # errors DO report at the union's path (validate.ts:95-103)
+            r = _screen(branch, tv, txt, custom, stack, depth + 1, path, stage, level)
         except ScreenNotApplicable:
             break
         chain.append(r)
@@ -559,14 +576,57 @@ def _screen_union(
     out = F.when(chain[0].cond, chain[0].out)
     for r in chain[1:]:
         out = out.when(r.cond, r.out)
+    exact = covered_all and all(r.exact for r in chain)
     # assembly stays unstaged: branch conds/outs are already staged leaf
     # columns, so the when-chain is cheap per reference
-    return _Screen(
+    s = _Screen(
         cond,
         out,
-        exact=covered_all and all(r.exact for r in chain),
+        exact=exact,
         null_out=all(r.null_out for r in chain),
     )
+    if exact and path is not None and all(r.leaf_fail for r in chain):
+        from yaschva_spark.errors import UNION_MISMATCH, rule_id_for
+
+        val = chain[0].leaf_fail[2]  # same tv -> identical rendering
+        ufail = None
+        for r in chain:
+            b = r.leaf_fail[3]
+            ufail = b if ufail is None else ufail & b
+        ufail = ~F.coalesce(cond, F.lit(False)) & F.coalesce(ufail, F.lit(False))
+        rows = [
+            F.struct(
+                F.lit(path).alias("path"),
+                F.lit(rule_id_for(UNION_MISMATCH)).alias("rule"),
+                F.lit(UNION_MISMATCH).alias("error"),
+                val.alias("value"),
+            )
+        ]
+        branch_objs = []
+        for r in chain:
+            err_i, rule_i, _v, _b = r.leaf_fail
+            rows.append(
+                F.struct(
+                    F.lit(path).alias("path"),
+                    rule_i.alias("rule"),
+                    err_i.alias("error"),
+                    val.alias("value"),
+                )
+            )
+            branch_objs.append(
+                F.concat(F.lit('{"error":"'), err_i, F.lit('","value":'), val, F.lit("}"))
+            )
+        s.femit = F.coalesce(cond, F.lit(False)) | ufail
+        s.viols = F.when(ufail, F.array(*rows)).otherwise(_empty_viols())
+        body = F.concat_ws(",", *branch_objs) if branch_objs else F.lit("")
+        s.fout = F.when(F.coalesce(cond, F.lit(False)), out).otherwise(
+            F.concat(
+                F.lit('{"error":"'), F.lit(UNION_MISMATCH),
+                F.lit('","value":'), val,
+                F.lit(',"output":['), body, F.lit("]}"),
+            )
+        )
+    return s
 
 
 def _screen_array(
