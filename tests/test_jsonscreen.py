@@ -444,3 +444,44 @@ def test_fail_screen_union_rows_exact(spark):
     row = spark.createDataFrame([(1, '{"v": "oops"}')], "id long, js string") \
         .select(emit).collect()[0][0]
     assert row is False or row == False  # noqa: E712 — fail not emittable
+
+
+def test_fail_screen_array_rows_exact(spark):
+    """Array fail emission: length failures (offending value = element
+    count) and per-element leaf failures with [i] paths; unrenderable
+    element values, nested-array elements (flat() splicing), and
+    NOT_ARRAY all stay interpreter-bound."""
+    from yaschva_spark.jsonscreen import compile_screens
+
+    schema = {"xs": {"$array": "integer", "minLength": 1, "maxLength": 3}}
+    rows = [
+        (0, '{"xs": [1, 2]}', True),       # pass
+        (1, '{"xs": [1, "a", 3]}', True),  # element fail at [1]
+        (2, '{"xs": []}', True),           # too short: value is the count
+        (3, '{"xs": [1, 2, 3, 4]}', True), # too long
+        (4, '{"xs": [1.5]}', False),       # DOUBLE offending value -> interp
+        (5, '{"xs": [[1]]}', False),       # nested array: flat() splices -> interp
+        (6, '{"xs": 5}', False),           # NOT_ARRAY: whole payload value -> interp
+        (7, '{"xs": [null, true]}', True), # null + bool elements render exactly
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], "id long, js string")
+    scr = compile_screens(schema, F.col("js"))
+    emitted = {r["id"]: r["e"] for r in df.select("id", scr["emit"].alias("e")).collect()}
+    for i, _, expect in rows:
+        assert emitted[i] == expect, (i, emitted[i])
+    cols = ["id", "yv_valid", "yv_violations", "yv_output"]
+    a = {r["id"]: repr(r) for r in
+         validate_json_table(df, schema, "js", screen=True).select(cols).collect()}
+    b = {r["id"]: repr(r) for r in
+         validate_json_table(df, schema, "js", screen=False).select(cols).collect()}
+    assert a == b
+    got = {r["id"]: r for r in validate_json_table(df, schema, "js", screen=True).collect()}
+    v1 = [(v["path"], v["rule"], v["error"], v["value"]) for v in got[1]["yv_violations"]]
+    assert v1 == [("$.xs[1]", "not_integer", "Value is not an integer ", '"a"')]
+    v2 = [(v["path"], v["rule"], v["error"], v["value"]) for v in got[2]["yv_violations"]]
+    assert v2 == [("$.xs", "arr_length", "Array length needs to be between 1 - 3", "0")]
+    v7 = [(v["path"], v["rule"], v["error"], v["value"]) for v in got[7]["yv_violations"]]
+    assert v7 == [
+        ("$.xs[0]", "not_integer", "Value is not an integer ", "null"),
+        ("$.xs[1]", "not_integer", "Value is not an integer ", "true"),
+    ]

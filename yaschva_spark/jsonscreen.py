@@ -72,12 +72,16 @@ the interpreter's first-error dispatch as a when-chain of compile-time
 constants (error string + rule id), the offending value renders JVM-side
 when its ``json.dumps`` text is exactly reconstructible (missing →
 ``"__undefined__"``, null, booleans, i64 integers, printable-ASCII
-strings without ``"``/``\\``), and objects concatenate field violations
-in the interpreter's output order. Rows the fail side cannot decide or
-render exactly — structural failures (non-object, extra key), union
-failures, DOUBLE/DECIMAL or escape-needing offending values, bound
-comparisons outside the 2^53 window — keep falling to the interpreter,
-per row. Soundness contract extends symmetrically: an emitted FAIL row's
+strings without ``"``/``\\``); objects concatenate field violations in
+the interpreter's output order; UNIONS of fully-covered exact leaves emit
+UNION_MISMATCH plus every branch's error at the same path; ARRAYS emit
+length failures (offending value = element count) and per-element leaf
+failures with ``[i]`` paths. Rows the fail side cannot decide or render
+exactly — object structural failures (non-object value, extra key),
+NOT_ARRAY, $map failures, DOUBLE/DECIMAL or escape-needing offending
+values, nested-array elements (flat() splicing), bound comparisons
+outside the 2^53 window — keep falling to the interpreter, per row.
+Soundness contract extends symmetrically: an emitted FAIL row's
 violations and output must equal the interpreter's byte for byte
 (differential + emission-boundary tests in tests/test_jsonscreen.py).
 """
@@ -290,7 +294,7 @@ def _leaf(
     every downstream consumer (femit, viols, fout, the parent's dispatch
     maps) then reads materialized columns instead of re-walking the
     variant (see :class:`_Stager`)."""
-    fail_ok = bool(fail_chain) and path is not None and tv is not None and all(
+    fail_ok = bool(fail_chain) and tv is not None and all(
         _ERR_SAFE.match(e) for _, e in (fail_chain or [])
     )
     if stage is not None:
@@ -315,6 +319,11 @@ def _leaf(
         rule = stage.add(level + 1, rule)
         val_txt = stage.add(level + 1, val_txt)
         bad = stage.add(level + 1, bad)
+    s.leaf_fail = (err, rule, val_txt, bad)
+    if path is None:
+        # no literal path: no standalone viols/fout — the parts above are
+        # for a composing parent (union at its own path, array at [i])
+        return s
     s.femit = F.coalesce(cond, F.lit(False)) | bad
     s.viols = F.when(
         bad,
@@ -330,7 +339,6 @@ def _leaf(
     s.fout = F.when(
         F.coalesce(cond, F.lit(False)), F.lit("null")
     ).otherwise(F.concat(F.lit('{"error":"'), err, F.lit('","value":'), val_txt, F.lit("}")))
-    s.leaf_fail = (err, rule, val_txt, bad)
     return s
 
 
@@ -516,7 +524,7 @@ def _screen_raw(
                 stage=stage, level=level,
             )
         if "$array" in node:
-            return _screen_array(node, tv, custom, stack, depth, stage, level)
+            return _screen_array(node, tv, custom, stack, depth, path, stage, level)
         if "$map" in node:
             return _screen_map(node, tv, txt, custom, stack, depth, stage, level)
         if "$and" in node:
@@ -631,13 +639,25 @@ def _screen_union(
 
 def _screen_array(
     node: dict, tv: Column, custom: dict[str, Any], stack: frozenset, depth: int,
-    stage: _Stager | None = None, level: int = 0,
+    path: str | None = None, stage: _Stager | None = None, level: int = 0,
 ) -> _Screen:
     """validateArray (validate.ts:106-126): length bounds, then every
     element. Elements are never JS-undefined; a JSON null element arrives
     as a variant-null (probed), so leaf screens stay sound. Output is the
     flat() of element outputs — with null-output elements (enforced),
-    that is exactly ``[null,...]``."""
+    that is exactly ``[null,...]``.
+
+    Fail side (r5): two exactly-renderable failure shapes emit JVM-side —
+    a LENGTH failure (the offending value is the element count, an exact
+    integer; error string is the compile-time arr_length constant), and
+    per-ELEMENT leaf failures when the element screen is compile-time
+    exact and every failing element's (error, value) is renderable:
+    violation rows gain ``[i]`` path segments in element order, and the
+    output is the element-wise pass/fail rendering (flat() is identity
+    because nested-array elements are never emitted — their offending
+    value is unrenderable, so those rows go to the interpreter, which
+    also sidesteps flat()'s index-shifting splice). NOT_ARRAY failures
+    report the whole payload as the value — interpreter."""
     arr = F.try_variant_get(tv, "$", "array<variant>")
     holder: dict[str, _Screen] = {}
 
@@ -653,12 +673,9 @@ def _screen_array(
         raise ScreenNotApplicable(
             "array element output is not null (needs per-element text)"
         )
-    cond = (
-        tv.isNotNull()
-        & _vtype(tv).startswith("ARRAY")
-        & _len_bounds(F.size(arr), node)
-        & all_ok
-    )
+    struct_base = tv.isNotNull() & _vtype(tv).startswith("ARRAY")
+    len_ok = _len_bounds(F.size(arr), node)
+    cond = struct_base & len_ok & all_ok
     out = F.concat(
         F.lit("["),
         F.array_join(F.transform(arr, lambda e: F.lit("null")), ","),
@@ -666,7 +683,90 @@ def _screen_array(
     )
     # element screens are elementwise ⇔, and only real JSON arrays have
     # ARRAY type — matching the reference's isArray gate exactly
-    return _Screen(cond, out, exact=holder["r"].exact, null_out=False)
+    s = _Screen(cond, out, exact=holder["r"].exact, null_out=False)
+    if path is None or holder["r"].leaf_fail is None or not holder["r"].exact:
+        return s
+    from yaschva_spark import errors as E
+
+    max_len = node.get("maxLength")
+    min_len = node.get("minLength")
+    len_err = E.arr_length(
+        0 if js_falsy(min_len) else min_len,
+        E.MAX_SAFE_INTEGER if js_falsy(max_len) else max_len,
+    )
+    if not _ERR_SAFE.match(len_err):
+        return s
+
+    def elem_fail(e: Column) -> _Screen:
+        return _screen(node["$array"], e, None, custom, stack, depth + 1)
+
+    # every element's outcome decided AND renderable (exact elements:
+    # cond ⇔ pass, bad ⇒ fail with exact (error, value))
+    def decided(e: Column) -> Column:
+        r = elem_fail(e)
+        _err, _rule, _val, bad = r.leaf_fail
+        return F.coalesce(r.cond, F.lit(False)) | F.coalesce(bad, F.lit(False))
+
+    all_decided = F.forall(arr, decided)
+    len_fail = F.coalesce(struct_base & ~len_ok, F.lit(False))
+    size_txt = F.size(arr).cast("string")
+    cond_f = F.coalesce(cond, F.lit(False))
+    s.femit = cond_f | len_fail | F.coalesce(
+        struct_base & len_ok & all_decided, F.lit(False)
+    )
+
+    def viol_rows(e: Column, i: Column) -> Column:
+        r = elem_fail(e)
+        err, rule, val, bad = r.leaf_fail
+        return F.when(
+            F.coalesce(bad, F.lit(False)) & ~F.coalesce(r.cond, F.lit(False)),
+            F.array(
+                F.struct(
+                    F.concat(F.lit(f"{path}["), i.cast("string"), F.lit("]")).alias("path"),
+                    rule.alias("rule"),
+                    err.alias("error"),
+                    val.alias("value"),
+                )
+            ),
+        ).otherwise(_empty_viols())
+
+    s.viols = (
+        F.when(cond_f, _empty_viols())
+        .when(
+            len_fail,
+            F.array(
+                F.struct(
+                    F.lit(path).alias("path"),
+                    F.lit(E.rule_id_for(len_err)).alias("rule"),
+                    F.lit(len_err).alias("error"),
+                    size_txt.alias("value"),
+                )
+            ),
+        )
+        .otherwise(F.flatten(F.transform(arr, viol_rows)))
+    )
+
+    def elem_out(e: Column) -> Column:
+        r = elem_fail(e)
+        err, _rule, val, _bad = r.leaf_fail
+        return F.when(F.coalesce(r.cond, F.lit(False)), F.lit("null")).otherwise(
+            F.concat(F.lit('{"error":"'), err, F.lit('","value":'), val, F.lit("}"))
+        )
+
+    s.fout = (
+        F.when(cond_f, out)
+        .when(
+            len_fail,
+            F.concat(
+                F.lit('{"error":"'), F.lit(len_err),
+                F.lit('","value":'), size_txt, F.lit("}"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("["), F.array_join(F.transform(arr, elem_out), ","), F.lit("]"))
+        )
+    )
+    return s
 
 
 def _screen_map(
