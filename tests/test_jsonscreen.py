@@ -485,3 +485,40 @@ def test_fail_screen_array_rows_exact(spark):
         ("$.xs[0]", "not_integer", "Value is not an integer ", "null"),
         ("$.xs[1]", "not_integer", "Value is not an integer ", "true"),
     ]
+
+
+def test_fail_screen_map_rows_exact(spark):
+    """$map value-failure emission: per-key rows at $.path.<key> in
+    data-key order; structural failures (size bounds, key regex, non-
+    object) report the whole map as the value and stay interpreter-bound."""
+    from yaschva_spark.jsonscreen import compile_screens
+
+    schema = {"m": {"$map": "integer", "minLength": 1, "regex": "^[a-z]+$"}}
+    rows = [
+        (0, '{"m": {"a": 1, "b": 2}}', True),         # pass
+        (1, '{"m": {"zz": 1, "a": "x", "b": 2}}', True),  # value fail at $.m.a
+        (2, '{"m": {}}', False),                      # size-bound fail -> interp
+        (3, '{"m": {"UPPER": 1}}', False),            # key-regex fail -> interp
+        (4, '{"m": 3}', False),                       # not an object -> interp
+        (5, '{"m": {"a": 1.5}}', False),              # DOUBLE offending value -> interp
+        (6, '{"m": {"b": null, "a": true}}', True),   # both values fail, data order
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], "id long, js string")
+    scr = compile_screens(schema, F.col("js"))
+    emitted = {r["id"]: r["e"] for r in df.select("id", scr["emit"].alias("e")).collect()}
+    for i, _, expect in rows:
+        assert emitted[i] == expect, (i, emitted[i])
+    cols = ["id", "yv_valid", "yv_violations", "yv_output"]
+    a = {r["id"]: repr(r) for r in
+         validate_json_table(df, schema, "js", screen=True).select(cols).collect()}
+    b = {r["id"]: repr(r) for r in
+         validate_json_table(df, schema, "js", screen=False).select(cols).collect()}
+    assert a == b
+    got = {r["id"]: r for r in validate_json_table(df, schema, "js", screen=True).collect()}
+    v1 = [(v["path"], v["rule"], v["error"], v["value"]) for v in got[1]["yv_violations"]]
+    assert v1 == [("$.m.a", "not_integer", "Value is not an integer ", '"x"')]
+    v6 = [(v["path"], v["rule"], v["error"], v["value"]) for v in got[6]["yv_violations"]]
+    assert v6 == [
+        ("$.m.b", "not_integer", "Value is not an integer ", "null"),
+        ("$.m.a", "not_integer", "Value is not an integer ", "true"),
+    ]

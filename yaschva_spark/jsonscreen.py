@@ -76,9 +76,11 @@ strings without ``"``/``\\``); objects concatenate field violations in
 the interpreter's output order; UNIONS of fully-covered exact leaves emit
 UNION_MISMATCH plus every branch's error at the same path; ARRAYS emit
 length failures (offending value = element count) and per-element leaf
-failures with ``[i]`` paths. Rows the fail side cannot decide or render
-exactly — object structural failures (non-object value, extra key),
-NOT_ARRAY, $map failures, DOUBLE/DECIMAL or escape-needing offending
+failures with ``[i]`` paths; $MAPS emit per-key value failures at
+``$.path.<key>`` in data-key order. Rows the fail side cannot decide or
+render exactly — object/map structural failures (non-object value, extra
+key, size bounds, key regex — the offending value is the whole
+composite), NOT_ARRAY, DOUBLE/DECIMAL or escape-needing offending
 values, nested-array elements (flat() splicing), bound comparisons
 outside the 2^53 window — keep falling to the interpreter, per row.
 Soundness contract extends symmetrically: an emitted FAIL row's
@@ -526,7 +528,7 @@ def _screen_raw(
         if "$array" in node:
             return _screen_array(node, tv, custom, stack, depth, path, stage, level)
         if "$map" in node:
-            return _screen_map(node, tv, txt, custom, stack, depth, stage, level)
+            return _screen_map(node, tv, txt, custom, stack, depth, path, stage, level)
         if "$and" in node:
             try:
                 merged = combine_and(node, custom)
@@ -772,12 +774,20 @@ def _screen_array(
 def _screen_map(
     node: dict, tv: Column, txt: Column | None,
     custom: dict[str, Any], stack: frozenset, depth: int,
-    stage: _Stager | None = None, level: int = 0,
+    path: str | None = None, stage: _Stager | None = None, level: int = 0,
 ) -> _Screen:
     """validateMap (validate.ts:161-193): member-count bounds, optional key
     regex, every value. NOT exact: the reference also accepts JS arrays
     (indices as keys); those rows screen false. Output needs data-order
-    keys, hence the text column."""
+    keys, hence the text column.
+
+    Fail side (r5): when the STRUCTURAL checks hold (true JSON object,
+    size bounds, render-safe keys, key regex) the map's outcome is its
+    VALUES' — per-key value failures emit with ``$.path.<key>`` violation
+    rows in data-key order, exactly like object fields, provided the value
+    screen is compile-time exact and each failing value renders exactly.
+    Structural failures report the whole map as the offending value —
+    interpreter."""
     if txt is None:
         raise ScreenNotApplicable("$map not at a literal path (needs text)")
     mp = F.try_variant_get(tv, "$", "map<string,variant>")
@@ -794,29 +804,76 @@ def _screen_map(
         raise ScreenNotApplicable(
             "map value output is not null (needs per-value text)"
         )
-    cond = (
+    struct_ok = (
         tv.isNotNull()
         & _vtype(tv).startswith("OBJECT")
         & _len_bounds(F.size(mp), node)
         # keys must render into output text verbatim (json.dumps identity)
         & F.forall(keys, lambda k: k.rlike(_MAP_KEY_SAFE_RLIKE))
-        & vals_ok
     )
     pattern = node.get("regex")
     if not js_falsy(pattern):
         if typed_unsafe(pattern):
             raise ScreenNotApplicable("ECMA-only map key regex")
         jp = to_java_pattern(pattern)
-        cond = cond & F.forall(keys, lambda k: k.rlike(jp))
+        struct_ok = struct_ok & F.forall(keys, lambda k: k.rlike(jp))
+    cond = struct_ok & vals_ok
+    data_keys = F.array_distinct(F.json_object_keys(txt))
     body = F.array_join(
-        F.transform(
-            F.json_object_keys(txt),
-            lambda k: F.concat(F.lit('"'), k, F.lit('":null')),
-        ),
+        F.transform(data_keys, lambda k: F.concat(F.lit('"'), k, F.lit('":null'))),
         ",",
     )
     out = F.concat(F.lit("{"), body, F.lit("}"))
-    return _Screen(cond, out, exact=False, null_out=False)
+    s = _Screen(cond, out, exact=False, null_out=False)
+    if path is None or holder["r"].leaf_fail is None or not holder["r"].exact:
+        return s
+
+    def val_screen(k: Column) -> _Screen:
+        return _screen(node["$map"], F.element_at(mp, k), None, custom, stack, depth + 1)
+
+    def decided(v: Column) -> Column:
+        r = _screen(node["$map"], v, None, custom, stack, depth + 1)
+        _e, _r, _v, bad = r.leaf_fail
+        return F.coalesce(r.cond, F.lit(False)) | F.coalesce(bad, F.lit(False))
+
+    cond_f = F.coalesce(cond, F.lit(False))
+    s.femit = cond_f | F.coalesce(
+        struct_ok & F.forall(F.map_values(mp), decided), F.lit(False)
+    )
+
+    def viol_rows(k: Column) -> Column:
+        r = val_screen(k)
+        err, rule, val, bad = r.leaf_fail
+        return F.when(
+            F.coalesce(bad, F.lit(False)) & ~F.coalesce(r.cond, F.lit(False)),
+            F.array(
+                F.struct(
+                    F.concat(F.lit(f"{path}."), k).alias("path"),
+                    rule.alias("rule"),
+                    err.alias("error"),
+                    val.alias("value"),
+                )
+            ),
+        ).otherwise(_empty_viols())
+
+    s.viols = F.when(cond_f, _empty_viols()).otherwise(
+        F.flatten(F.transform(data_keys, viol_rows))
+    )
+
+    def key_out(k: Column) -> Column:
+        r = val_screen(k)
+        err, _rule, val, _bad = r.leaf_fail
+        v_out = F.when(F.coalesce(r.cond, F.lit(False)), F.lit("null")).otherwise(
+            F.concat(F.lit('{"error":"'), err, F.lit('","value":'), val, F.lit("}"))
+        )
+        return F.concat(F.lit('"'), k, F.lit('":'), v_out)
+
+    s.fout = F.when(cond_f, out).otherwise(
+        F.concat(
+            F.lit("{"), F.array_join(F.transform(data_keys, key_out), ","), F.lit("}")
+        )
+    )
+    return s
 
 
 def _screen_object(
