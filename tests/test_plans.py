@@ -194,3 +194,41 @@ def test_bucketed_write_validates(spark, tmp_path):
         write_bucketed(docs, "t", ("doc_id",), 0)
     with pytest.raises(ValueError):
         write_bucketed(docs, "t", (), 4)
+
+
+def test_staged_screen_keeps_projection_boundaries(spark):
+    """The staged screen's win depends on Catalyst NOT collapsing the
+    chained level-projections back into one tree (CollapseProject keeps a
+    boundary when aliases are non-cheap and multiply referenced —
+    SPARK-36718). If a Spark upgrade changes that heuristic, every staged
+    column re-inlines into all its consumers and the fail side re-explodes
+    to its measured ~4x cost — catch it here, not in a bench mystery."""
+    import __spark_entry__ as e
+    from yaschva_spark.jsonscreen import compile_screens
+
+    spark.catalog.clearCache()  # plan-shape test: no InMemoryTableScan swap
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    js = F.concat(
+        F.lit('{"meta": {"lang": "'), F.col("lang"),
+        F.lit('", "n": '), F.col("n_chars").cast("string"),
+        F.lit('}, "ids": ['), F.col("doc_id").cast("string"), F.lit("]}"),
+    )
+    src = docs.select("doc_id", js.alias("js"))
+    levels, sc = compile_screens(e.NESTED_JSON_SCHEMA, F.col("js"), staged=True)
+    assert sum(1 for lvl in levels if lvl) >= 3  # parse, extractions, leaf derivations
+    staged = src
+    for lvl in levels:
+        if lvl:
+            staged = staged.select("*", *[c.alias(n) for n, c in lvl.items()])
+    out = staged.select(
+        "doc_id", sc["pass"].alias("p"), sc["emit"].alias("m"),
+        F.when(sc["pass"], sc["pass_out"]).otherwise(sc["fail_out"]).alias("o"),
+        sc["viols"].alias("v"),
+    ).filter("p or m")
+    plan = _physical(out)
+    # every non-empty level must survive as its own Project boundary: the
+    # staged alias names appear as OUTPUTS of inner projections, and the
+    # root parse expression appears exactly once
+    n_projects = plan.count("Project")
+    assert n_projects >= sum(1 for lvl in levels if lvl), plan[:2000]
+    assert "__yv_s0_" in plan  # the staged parse column is materialized
